@@ -97,41 +97,58 @@ class Fp:
 
     # Limb-level primitives -------------------------------------------------
 
-    def _carry_propagate(self, acc_list):
-        """List of L (or more) uint32 columns (each < 2^31) -> normalized limbs.
+    def _normalize(self, cols, num_out: int):
+        """Exact carry propagation in log depth (carry-lookahead).
 
-        Returns a list of the same length with limbs < 2^16 plus drops any
-        final carry (caller must guarantee the value fits).
+        cols: (..., K) uint32 column values, each < 2^31 (so per-column carry
+        fits 15 bits).  Returns (limbs (..., num_out) each < 2^16, carry_out).
+        Uses an associative generate/propagate prefix scan instead of a
+        sequential ripple chain: ~log2(L) vectorized rounds, which keeps both
+        the HLO graph and the VPU dependency depth shallow.
+
+        Derivation: with t_k = cols[k], r_k = t_k & M, b_k = t_k >> 16, the
+        carry recurrence c_{k+1} = (t_k + c_k) >> 16 splits into
+        c_k = b_{k-1} + e_{k-1} with e_k in {0,1}:
+        e_k = [u_k >= 2^16] OR ([u_k == 2^16 - 1] AND e_{k-1}),
+        u_k = r_k + b_{k-1} — a standard carry-lookahead on (g, p) pairs.
         """
-        out = []
-        carry = jnp.zeros_like(acc_list[0])
-        for a in acc_list:
-            t = a + carry
-            out.append(t & U32(0xFFFF))
-            carry = t >> 16
-        return out, carry
+        K = cols.shape[-1]
+        M = U32(0xFFFF)
+        if K < num_out:
+            pad = [(0, 0)] * (cols.ndim - 1) + [(0, num_out - K)]
+            cols = jnp.pad(cols, pad)
+        t = cols[..., :num_out]
+        r = t & M
+        b = t >> 16
+        zero = jnp.zeros_like(b[..., :1])
+        b_shift = jnp.concatenate([zero, b[..., :-1]], axis=-1)
+        u = r + b_shift
+        g = u >> 16                      # in {0, 1}
+        p = (u == M).astype(U32)
+
+        def comb(first, second):
+            g1, p1 = first
+            g2, p2 = second
+            return (g2 | (p2 & g1), p1 & p2)
+
+        e, _ = jax.lax.associative_scan(comb, (g, p), axis=-1)
+        e_shift = jnp.concatenate([zero, e[..., :-1]], axis=-1)
+        c = b_shift + e_shift
+        limbs = (r + c) & M
+        carry = b[..., -1] + e[..., -1]
+        return limbs, carry
 
     def _sub_limbs(self, a, b):
-        """(a - b) over L limbs; returns (diff_limbs stacked, borrow (...,))."""
-        L = self.L
-        borrow = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), U32)
-        out = []
-        for j in range(L):
-            t = a[..., j] - b[..., j] - borrow
-            out.append(t & U32(0xFFFF))
-            borrow = t >> 31
-        return jnp.stack(out, axis=-1), borrow
+        """(a - b) over L limbs; returns (diff_limbs, borrow (...,) in {0,1})."""
+        # two's complement: a - b = a + (M - b) + 1 over 16-bit limbs
+        cols = a + (U32(0xFFFF) - b)
+        one_hot = jnp.zeros((self.L,), U32).at[0].set(1)
+        limbs, carry = self._normalize(cols + one_hot, self.L)
+        return limbs, U32(1) - carry
 
     def _add_limbs(self, a, b):
         """(a + b) over L limbs mod 2^(16L); returns (sum_limbs, carry_out)."""
-        L = self.L
-        carry = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), U32)
-        out = []
-        for j in range(L):
-            t = a[..., j] + b[..., j] + carry
-            out.append(t & U32(0xFFFF))
-            carry = t >> 16
-        return jnp.stack(out, axis=-1), carry
+        return self._normalize(a + b, self.L)
 
     def _cond_sub_p(self, x):
         """x - p if x >= p else x (x < 2p, normalized limbs)."""
@@ -173,18 +190,18 @@ class Fp:
         lo = p & MASK
         hi = p >> 16
         width = L if low_only else 2 * L
-        acc = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]) + (width,), U32)
+        # Row i of lo contributes to columns i..i+L-1, row i of hi to
+        # i+1..i+L: realize the shifts with static pads and one big sum
+        # (a single reduce op — far cheaper to compile and run than a chain
+        # of dynamic-update-slice adds).
+        rows = []
         for i in range(L):
-            lo_row = lo[..., i, :]   # contributes to columns i .. i+L-1
-            hi_row = hi[..., i, :]   # contributes to columns i+1 .. i+L
-            if low_only:
-                acc = acc.at[..., i:].add(lo_row[..., : L - i])
-                if L - i - 1 > 0:
-                    acc = acc.at[..., i + 1 :].add(hi_row[..., : L - i - 1])
-            else:
-                acc = acc.at[..., i : i + L].add(lo_row)
-                acc = acc.at[..., i + 1 : i + L + 1].add(hi_row)
-        return acc
+            lo_row = jnp.pad(lo[..., i, :], [(0, 0)] * (lo.ndim - 2) + [(i, L - i)])
+            hi_row = jnp.pad(hi[..., i, :], [(0, 0)] * (hi.ndim - 2) + [(i + 1, L - i - 1)])
+            rows.append(lo_row)
+            rows.append(hi_row)
+        acc = jnp.sum(jnp.stack(rows), axis=0)          # (..., 2L), sums < 2^22
+        return acc[..., :width]
 
     def _normalize(self, cols, num_out: int):
         """Exact carry propagation of (..., K) columns (< 2^31 each) to num_out
