@@ -1,0 +1,6 @@
+from .pairing import (  # noqa: F401
+    final_exp,
+    inner_product,
+    miller_loop,
+    pairing,
+)
