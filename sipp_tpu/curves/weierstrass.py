@@ -174,6 +174,31 @@ class CurveOps:
         return out
 
     @functools.partial(jax.jit, static_argnums=0)
+    def scalar_mul_per_lane(self, q_aff, bits):
+        """[k_i]Q_i with per-lane scalars: bits (254, ...batch) MSB-first.
+        The compute of the reference's starky g1/g2 exp statements
+        (SURVEY.md D7): each input has its own exponent."""
+        acc0 = self.jac_infinity(q_aff.shape[: -(1 + self.f.ndim)])
+
+        def body(acc, bit):
+            acc = self.dbl(acc)
+            added = self.add_mixed(acc, q_aff, handle_double=False)
+            return jnp.where(self._expand_pt(bit != 0), added, acc), None
+
+        out, _ = jax.lax.scan(body, acc0, bits)
+        return out
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def exp_with_offset(self, x_aff, offset_aff, bits):
+        """offset + [k]x per lane — the exact interface of the reference's
+        starky ExpInput{x, offset, exp_val} statements
+        (/root/reference/src/verifier_circuit.rs:92-135; SURVEY.md D7)."""
+        return self.add_mixed(
+            self.scalar_mul_per_lane(x_aff, bits), offset_aff,
+            handle_double=True,
+        )
+
+    @functools.partial(jax.jit, static_argnums=0)
     def fold(self, a1_aff, a2_aff, bits):
         """SIPP fold step: a1 + [x]a2 (jacobian result), the per-round op of
         reference prover_native.rs:60-69."""

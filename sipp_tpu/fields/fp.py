@@ -59,6 +59,8 @@ class Fp:
         self.zero_limbs = jnp.zeros((L,), U32)
         self.one_mont = self.const(1)
         self.r2_limbs = jnp.asarray(bigint.int_to_limbs(self.R2, L))
+        # R - p as limbs (for fused conditional-subtract normalization)
+        self.rp_arr = jnp.asarray(bigint.int_to_limbs(self.R - p, L))
 
     # ---------------------------------------------------------------- helpers
 
@@ -159,14 +161,23 @@ class Fp:
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def add(self, a, b):
-        s, _ = self._add_limbs(a, b)  # a+b < 2p < 2^(16L): carry always 0
-        return self._cond_sub_p(s)
+        # Fused add + conditional subtract: normalize [a+b, a+b+(R-p)] in one
+        # stacked pass; the second lane carries out of R exactly when
+        # a+b >= p, in which case its limbs are (a+b-p).
+        s = a + b
+        cols = jnp.stack([s, s + self.rp_arr])
+        limbs, carry = self._normalize(cols, self.L)
+        return jnp.where((carry[1] != 0)[..., None], limbs[1], limbs[0])
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def sub(self, a, b):
-        diff, borrow = self._sub_limbs(a, b)
-        wrapped, _ = self._add_limbs(diff, self.p_arr)
-        return jnp.where((borrow == 0)[..., None], diff, wrapped)
+        # a - b via two's complement; second lane adds p back for the
+        # borrow case.  One stacked normalization, one select.
+        one_hot = jnp.zeros((self.L,), U32).at[0].set(1)
+        d = a + (U32(0xFFFF) - b) + one_hot
+        cols = jnp.stack([d, d + self.p_arr])
+        limbs, carry = self._normalize(cols, self.L)
+        return jnp.where((carry[0] != 0)[..., None], limbs[0], limbs[1])
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def neg(self, a):
@@ -217,7 +228,11 @@ class Fp:
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def mul(self, a, b):
-        """Montgomery product a*b*R^{-1} mod p (separated SOS reduction)."""
+        return self._mul_impl(a, b)
+
+    def _mul_impl(self, a, b):
+        """Montgomery product a*b*R^{-1} mod p (separated SOS reduction).
+        Raw (un-jitted) implementation, callable inside Pallas kernels."""
         assert a.shape[-1] == self.L and b.shape[-1] == self.L, (
             f"expected {self.L} limbs, got {a.shape} x {b.shape}")
         L = self.L
@@ -227,12 +242,17 @@ class Fp:
         np_arr = jnp.asarray(self.np_arr_np)
         m_limbs, _ = self._normalize(
             self._prod_cols(t_limbs[..., :L], np_arr, low_only=True), L)
-        # U = T + m*p ; low L limbs cancel; result = U >> 16L < 2p
+        # U = T + m*p ; low L limbs cancel; result = U >> 16L < 2p.
+        # Fused final conditional subtract: second stacked lane adds
+        # (R-p) << 16L, whose carry-out flags result >= p.
         u_cols = self._prod_cols(m_limbs, self.p_arr)
         u_cols = u_cols + t_limbs  # t_limbs are normalized 16-bit limbs
-        u_limbs, _ = self._normalize(u_cols, 2 * L)
-        res = u_limbs[..., L:]
-        return self._cond_sub_p(res)
+        u2 = u_cols.at[..., L:].add(self.rp_arr)
+        cols = jnp.stack([u_cols, u2])
+        u_limbs, carry = self._normalize(cols, 2 * L)
+        return jnp.where(
+            (carry[1] != 0)[..., None], u_limbs[1, ..., L:], u_limbs[0, ..., L:]
+        )
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def sqr(self, a):

@@ -78,7 +78,7 @@ def _dbl_step(t, xp, yp):
     a = T.fq2_scale(F.double(T1), yp)
     b = F.neg(T.fq2_scale(F.add(F.double(T2), T2), xp))
     c = F.sub(F.add(F.double(T3), T3), F.double(B))
-    return t2, _sparse12(a, b, c)
+    return t2, (a, b, c)
 
 
 def _add_step(t, q, xp, yp):
@@ -104,7 +104,7 @@ def _add_step(t, q, xp, yp):
     c = F.sub(v[0], v[1])
     a = T.fq2_scale(Z3, yp)
     b = F.neg(T.fq2_scale(R, xp))
-    return t3, _sparse12(a, b, c)
+    return t3, (a, b, c)
 
 
 def _twist_frob(q):
@@ -134,12 +134,12 @@ def miller_loop(p_aff, q_aff):
 
     def body(carry, digit):
         f, t = carry
-        f = T.fq12_mul(f, f)
+        f = T.fq12_sqr(f)
         t, line = _dbl_step(t, xp, yp)
-        f = T.fq12_mul(f, line)
+        f = T.fq12_mul_line(f, *line)
         q_sel = jnp.where(digit == 1, q_aff, q_neg)
         t_add, line_add = _add_step(t, q_sel, xp, yp)
-        f_add = T.fq12_mul(f, line_add)
+        f_add = T.fq12_mul_line(f, *line_add)
         use_add = digit != 0
         f = jnp.where(use_add, f_add, f)
         t = jnp.where(use_add, t_add, t)
@@ -152,9 +152,9 @@ def miller_loop(p_aff, q_aff):
     q2 = _twist_frob(q1)
     nq2 = q2.at[..., 1, :, :].set(F.neg(q2[..., 1, :, :]))
     t, line = _add_step(t, q1, xp, yp)
-    f = T.fq12_mul(f, line)
+    f = T.fq12_mul_line(f, *line)
     _, line = _add_step(t, nq2, xp, yp)
-    f = T.fq12_mul(f, line)
+    f = T.fq12_mul_line(f, *line)
 
     # infinity handling: e(O, Q) = e(P, O) = 1
     inf_p = jnp.all(p_aff == 0, axis=(-1, -2))
@@ -163,19 +163,145 @@ def miller_loop(p_aff, q_aff):
     return jnp.where(inf, f0, f)
 
 
-# Hard-part exponent (p^4 - p^2 + 1) / r  (naive but always-correct schedule;
-# the optimized x-chain is a later, differential-tested swap-in).
+# Hard-part exponent (p^4 - p^2 + 1) / r.
 _HARD_EXP = (params.P**4 - params.P**2 + 1) // params.R
+# Its exact base-p decomposition for BN curves (verified at import):
+#   d = l0 + l1*p + l2*p^2 + p^3
+_L0 = 36 * params.X**3 + 30 * params.X**2 + 18 * params.X + 2   # = -l0
+_L1 = 36 * params.X**3 + 18 * params.X**2 + 12 * params.X - 1   # = -l1
+assert (-_L0) + (-_L1) * params.P + (6 * params.X**2 + 1) * params.P**2 \
+    + params.P**3 == _HARD_EXP
+
+
+def _easy_part(f):
+    """f^((p^6-1)(p^2+1)): lands in the cyclotomic subgroup."""
+    g = T.fq12_mul(T.fq12_conj(f), T.fq12_inv(f))
+    return T.fq12_mul(T.fq12_frob(g, 2), g)
+
+
+# The lambda addition chain as an instruction tape over a 12-slot Fq12
+# register file: each step is R[dst] = post(R[s1] * R[s2]) with post in
+# {identity, conj, frob1, frob2}.  Driving it with one lax.scan keeps the
+# compiled graph ONE multiply big regardless of chain length (the naively
+# unrolled chain was ~30 inlined Fq12 multiplies of HLO and dominated
+# compile time).  Registers: 0=f, 1=f^x, 2=f^(x^2), 3=f^(x^3), 4.. scratch.
+_POST_NONE, _POST_CONJ, _POST_FROB1, _POST_FROB2 = 0, 1, 2, 3
+_TAPE = np.array([
+    # c-chain: c36 in r6 (c = r3)
+    (4, 3, 3, 0),   # c2
+    (5, 4, 4, 0),   # c4
+    (6, 5, 5, 0),   # c8
+    (6, 6, 6, 0),   # c16
+    (6, 6, 6, 0),   # c32
+    (6, 6, 5, 0),   # c36 = c32*c4
+    # b-chain: b30 in r9, b18 in r8, b6 in r10 (b = r2)
+    (4, 2, 2, 0),   # b2
+    (5, 4, 4, 0),   # b4
+    (7, 5, 5, 0),   # b8
+    (8, 7, 7, 0),   # b16
+    (9, 8, 7, 0),   # b16*b8
+    (10, 5, 4, 0),  # b6 = b4*b2
+    (9, 9, 10, 0),  # b30
+    (8, 8, 4, 0),   # b18
+    # a-chain: a18 in r11, a12 in r7 (a = r1)
+    (4, 1, 1, 0),   # a2
+    (5, 4, 4, 0),   # a4
+    (7, 5, 5, 0),   # a8
+    (11, 7, 7, 0),  # a16
+    (11, 11, 4, 0), # a18
+    (7, 7, 5, 0),   # a12
+    (4, 0, 0, 0),   # f2
+    # lam0 = conj(c36*b30*a18*f2) -> r5
+    (5, 6, 9, 0),
+    (5, 5, 11, 0),
+    (5, 5, 4, _POST_CONJ),
+    # frob1(lam1) = frob1(conj(c36*b18*a12)*f) -> r9
+    (9, 6, 8, 0),
+    (9, 9, 7, _POST_CONJ),
+    (9, 9, 0, _POST_FROB1),
+    # frob2(lam2) = frob2(b6*f) -> r10
+    (10, 10, 0, _POST_FROB2),
+    # combine: r5 = lam0*frob1(lam1)*frob2(lam2)
+    (5, 5, 9, 0),
+    (5, 5, 10, 0),
+], dtype=np.int32)
+
+
+@jax.jit
+def _hard_part(f):
+    """f^((p^4-p^2+1)/r) for f in the cyclotomic subgroup, via the exact
+    lambda decomposition d = -|l0| - |l1| p + l2 p^2 + p^3 (conj == inverse
+    in the cyclotomic subgroup).  Differentially tested vs the naive pow."""
+    batch = f.shape[:-4]
+
+    # powx tower a = f^x, b = a^x, c = b^x as one nested scan
+    xbits = jnp.asarray(
+        np.array([int(v) for v in bin(params.X)[2:]], dtype=np.uint32)
+    )
+
+    def outer(v, _):
+        def inner(acc, bit):
+            acc = T.fq12_cyclo_sqr(acc)
+            return jnp.where(bit != 0, T.fq12_mul(acc, v), acc), None
+
+        out, _ = jax.lax.scan(inner, T.fq12_ones(batch), xbits)
+        return out, out
+
+    _, abc = jax.lax.scan(outer, f, None, length=3)  # (3, ..., 2,3,2,L)
+
+    regs = jnp.concatenate(
+        [f[None], abc, jnp.zeros((8,) + f.shape, jnp.uint32)], axis=0
+    )
+
+    def step(regs, inst):
+        dst, s1, s2, post = inst[0], inst[1], inst[2], inst[3]
+        v = T.fq12_mul(jnp.take(regs, s1, axis=0), jnp.take(regs, s2, axis=0))
+        v = jax.lax.switch(
+            post,
+            [
+                lambda x: x,
+                T.fq12_conj,
+                lambda x: T.fq12_frob(x, 1),
+                lambda x: T.fq12_frob(x, 2),
+            ],
+            v,
+        )
+        return jax.lax.dynamic_update_index_in_dim(regs, v, dst, 0), None
+
+    regs, _ = jax.lax.scan(step, regs, jnp.asarray(_TAPE))
+    return T.fq12_mul(regs[5], T.fq12_frob(f, 3))
 
 
 @jax.jit
 def final_exp(f):
     """f^((p^12-1)/r), batched."""
-    # easy part: f^(p^6 - 1) then ^(p^2 + 1)
-    g = T.fq12_mul(T.fq12_conj(f), T.fq12_inv(f))
-    g = T.fq12_mul(T.fq12_frob(g, 2), g)
-    # hard part
-    return T.fq12_pow_static(g, _HARD_EXP)
+    return _hard_part(_easy_part(f))
+
+
+@jax.jit
+def final_exp_naive(f):
+    """Reference-schedule final exp (naive hard part); oracle for tests."""
+    return T.fq12_pow_static(_easy_part(f), _HARD_EXP)
+
+
+def final_exp_host(f):
+    """Final exponentiation of a SINGLE (unbatched) Fq12 element on the host
+    C++ kernel (csrc/bn254.cpp).
+
+    Architecture note: after the product tree the FE input has no batch
+    axis — ~800 dependent multiplies are pure dispatch latency on the TPU
+    (~100 ms) but ~1 ms on the host.  Latency-bound scalar tails run on the
+    CPU; throughput-bound batched work runs on the TPU.  Bit-identical to
+    final_exp (same chain, same Montgomery radix) and differentially tested.
+    Falls back to the device path when the native library is unavailable.
+    """
+    from .. import native
+
+    if native.get_lib() is None:
+        return final_exp(f)
+    arr = native.fq12_dev_to_u64(jax.device_get(f))
+    out = native.fq12_final_exp(arr)
+    return jnp.asarray(native.u64_to_fq12_dev(out))
 
 
 def pairing(p_aff, q_aff):
@@ -183,14 +309,15 @@ def pairing(p_aff, q_aff):
     return final_exp(miller_loop(p_aff, q_aff))
 
 
-@functools.partial(jax.jit, static_argnums=())
-def inner_product(a_g1, b_g2):
-    """Z = prod_i e(A_i, B_i) over the leading batch axis.
+@jax.jit
+def _miller_product(a_g1, b_g2):
+    """Fused batched Miller loop + Fq12 product tree (single device program)."""
+    return _product_tree(miller_loop(a_g1, b_g2))
 
-    Semantics of reference prover_native.rs:15-23; computed as one batched
-    Miller loop, a product tree over lanes, and a single final exponentiation.
-    """
-    f = miller_loop(a_g1, b_g2)
+
+@jax.jit
+def _product_tree(f):
+    """prod over the leading axis of a (n, ...) Fq12 batch, log2(n) rounds."""
     n = f.shape[0]
     while n > 1:
         half = n // 2
@@ -201,4 +328,29 @@ def inner_product(a_g1, b_g2):
         else:
             f = T.fq12_mul(f[:half], f[half:])
             n = half
-    return final_exp(f[0])
+    return f[0]
+
+
+def inner_product(a_g1, b_g2, pad_to: int = None):
+    """Z = prod_i e(A_i, B_i) over the leading batch axis.
+
+    Semantics of reference prover_native.rs:15-23; computed as one batched
+    Miller loop, a product tree over lanes, and a single final exponentiation.
+    Deliberately NOT one fused jit: miller/product/final-exp compile as three
+    reusable kernels (the fused graph exhausts compile memory and recompiles
+    per batch size; the pieces are shared across fold rounds and batch sizes).
+
+    pad_to: pad the lane count with points at infinity (which contribute
+    f = 1) so different fold rounds reuse one compiled kernel — exact, since
+    the infinity lanes multiply 1 into the product tree.
+    """
+    n = a_g1.shape[0]
+    if pad_to is not None and n < pad_to:
+        a_g1 = jnp.concatenate(
+            [a_g1, jnp.zeros((pad_to - n,) + a_g1.shape[1:], jnp.uint32)], 0)
+        b_g2 = jnp.concatenate(
+            [b_g2, jnp.zeros((pad_to - n,) + b_g2.shape[1:], jnp.uint32)], 0)
+    # Miller + product tree fused in one device program (reduces n elements
+    # to 1 before any transfer; avoids log2(n) separate dispatches); final
+    # exp on host (latency-bound).
+    return final_exp_host(_miller_product(a_g1, b_g2))

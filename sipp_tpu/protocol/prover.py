@@ -20,6 +20,23 @@ from ..fields import tower
 from ..pairing import inner_product
 from .transcript import Transcript
 
+# Small fold rounds are padded up to this lane count so they share ONE
+# compiled kernel instead of recompiling at every halved size (exact:
+# infinity lanes contribute 1 to products; padded fold lanes are sliced off).
+PAD_FLOOR = 64
+
+
+def _floor(n0: int) -> int:
+    return max(1, min(PAD_FLOOR, n0 // 2))
+
+
+def pad_lanes(arr, target: int):
+    n = arr.shape[0]
+    if n >= target:
+        return arr
+    return jnp.concatenate(
+        [arr, jnp.zeros((target - n,) + arr.shape[1:], jnp.uint32)], 0)
+
 
 def sipp_prove(a_g1, b_g2, return_transcript=False):
     """a_g1: (n, 2, L) G1 affine; b_g2: (n, 2, 2, L) G2 twist affine; n a
@@ -31,21 +48,21 @@ def sipp_prove(a_g1, b_g2, return_transcript=False):
     a_host = curves.g1_decode(a_g1)
     b_host = curves.g2_decode(b_g2)
     tr = Transcript()
-    for a, b in zip(a_host, b_host):
-        tr.append_g1(a)
-        tr.append_g2(b)
+    tr.append_points(a_host, b_host)
 
     z = inner_product(a_g1, b_g2)
     proof = [z]
     tr.append_fq12(tower.fq12_decode(z[None])[0])
 
     a, b = a_g1, b_g2
+    flo = _floor(n)
     while n > 1:
         m = n // 2
+        tgt = max(m, flo)
         a_lo, a_hi = a[:m], a[m:]
         b_lo, b_hi = b[:m], b[m:]
-        z_l = inner_product(a_hi, b_lo)
-        z_r = inner_product(a_lo, b_hi)
+        z_l = inner_product(a_hi, b_lo, pad_to=tgt)
+        z_r = inner_product(a_lo, b_hi, pad_to=tgt)
         proof.append(z_l)
         tr.append_fq12(tower.fq12_decode(z_l[None])[0])
         proof.append(z_r)
@@ -53,8 +70,12 @@ def sipp_prove(a_g1, b_g2, return_transcript=False):
 
         x = tr.get_challenge()
         x_inv = pow(x, -1, params.R)
-        a = G1.to_affine(G1.fold(a_lo, a_hi, scalar_to_bits(x)))
-        b = G2.to_affine(G2.fold(b_lo, b_hi, scalar_to_bits(x_inv)))
+        a = G1.to_affine(
+            G1.fold(pad_lanes(a_lo, tgt), pad_lanes(a_hi, tgt),
+                    scalar_to_bits(x)))[:m]
+        b = G2.to_affine(
+            G2.fold(pad_lanes(b_lo, tgt), pad_lanes(b_hi, tgt),
+                    scalar_to_bits(x_inv)))[:m]
         n = m
 
     proof.reverse()  # verifier reads back-to-front (prover_native.rs:78)

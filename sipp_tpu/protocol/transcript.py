@@ -65,13 +65,30 @@ def _u32_digits_var(v: int) -> list:
 
 
 class Transcript:
-    """Host Fiat-Shamir transcript (semantics of transcript_native.rs)."""
+    """Host Fiat-Shamir transcript (semantics of transcript_native.rs).
+
+    Uses the C++ fast path (csrc/, ~100x) when available; the pure-Python
+    Poseidon is the reference implementation and drop-in fallback."""
 
     def __init__(self):
         self.state = [0, 0, 0, 0]
+        from .. import native
+
+        self._native = native if native.get_lib() is not None else None
 
     def append(self, msg):
-        self.state = poseidon.hash_no_pad(list(self.state) + list(msg))
+        if self._native is not None:
+            self.state = self._native.transcript_absorb(self.state, [list(msg)])
+        else:
+            self.state = poseidon.hash_no_pad(list(self.state) + list(msg))
+
+    def append_many(self, msgs):
+        """Hash-chain a list of messages (the 2n-append prologue fast path)."""
+        if self._native is not None:
+            self.state = self._native.transcript_absorb(self.state, msgs)
+        else:
+            for m in msgs:
+                self.append(m)
 
     def append_g1(self, pt):
         self.append(g1_to_elements(pt))
@@ -82,9 +99,20 @@ class Transcript:
     def append_fq12(self, f):
         self.append(fq12_to_elements(f))
 
+    def append_points(self, a_pts, b_pts):
+        """Interleaved (A_i, B_i) prologue (prover_native.rs:36-39)."""
+        msgs = []
+        for a, b in zip(a_pts, b_pts):
+            msgs.append(g1_to_elements(a))
+            msgs.append(g2_to_elements(b))
+        self.append_many(msgs)
+
     def get_challenge(self) -> int:
         """Fr challenge; does not mutate state."""
-        digest = poseidon.hash_no_pad(list(self.state))
+        if self._native is not None:
+            digest = self._native.hash_no_pad(list(self.state))
+        else:
+            digest = poseidon.hash_no_pad(list(self.state))
         digits = []
         for d in digest:
             digits.extend(_u32_digits_var(d))
