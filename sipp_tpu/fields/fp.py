@@ -187,7 +187,7 @@ class Fp:
     def double(self, a):
         return self.add(a, a)
 
-    def _prod_cols(self, a, b, low_only: bool = False):
+    def _prod_cols(self, a, b, low_only: bool = False, use_reduce: bool = True):
         """Schoolbook product column sums of two limb vectors.
 
         Computes cols[k] = sum_{i+j=k} lo16(a_i*b_j) + sum_{i+j=k-1} hi16(a_i*b_j)
@@ -211,7 +211,13 @@ class Fp:
             hi_row = jnp.pad(hi[..., i, :], [(0, 0)] * (hi.ndim - 2) + [(i + 1, L - i - 1)])
             rows.append(lo_row)
             rows.append(hi_row)
-        acc = jnp.sum(jnp.stack(rows), axis=0)          # (..., 2L), sums < 2^22
+        if use_reduce:
+            acc = jnp.sum(jnp.stack(rows), axis=0)      # (..., 2L), sums < 2^22
+        else:
+            # Mosaic (Pallas TPU) lacks unsigned reductions: chain the adds.
+            acc = rows[0]
+            for r in rows[1:]:
+                acc = acc + r
         return acc[..., :width]
 
     def _normalize(self, cols, num_out: int):
@@ -230,24 +236,34 @@ class Fp:
     def mul(self, a, b):
         return self._mul_impl(a, b)
 
-    def _mul_impl(self, a, b):
+    def _mul_impl(self, a, b, consts=None):
         """Montgomery product a*b*R^{-1} mod p (separated SOS reduction).
-        Raw (un-jitted) implementation, callable inside Pallas kernels."""
+        Raw (un-jitted) implementation, callable inside Pallas kernels —
+        pass consts=(p_arr, np_arr, rp_arr) there, since Pallas kernels
+        cannot capture traced constants."""
         assert a.shape[-1] == self.L and b.shape[-1] == self.L, (
             f"expected {self.L} limbs, got {a.shape} x {b.shape}")
         L = self.L
+        p_arr, np_arr, rp_arr = consts if consts is not None else (
+            self.p_arr, jnp.asarray(self.np_arr_np), self.rp_arr)
+        use_reduce = consts is None
         # T = a*b  (exact 2L limbs; T < p^2 < R^2)
-        t_limbs, _ = self._normalize(self._prod_cols(a, b), 2 * L)
+        t_limbs, _ = self._normalize(
+            self._prod_cols(a, b, use_reduce=use_reduce), 2 * L)
         # m = (T mod R) * N' mod R
-        np_arr = jnp.asarray(self.np_arr_np)
         m_limbs, _ = self._normalize(
-            self._prod_cols(t_limbs[..., :L], np_arr, low_only=True), L)
+            self._prod_cols(t_limbs[..., :L], np_arr, low_only=True,
+                            use_reduce=use_reduce), L)
         # U = T + m*p ; low L limbs cancel; result = U >> 16L < 2p.
         # Fused final conditional subtract: second stacked lane adds
         # (R-p) << 16L, whose carry-out flags result >= p.
-        u_cols = self._prod_cols(m_limbs, self.p_arr)
+        u_cols = self._prod_cols(m_limbs, p_arr, use_reduce=use_reduce)
         u_cols = u_cols + t_limbs  # t_limbs are normalized 16-bit limbs
-        u2 = u_cols.at[..., L:].add(self.rp_arr)
+        if use_reduce:
+            u2 = u_cols.at[..., L:].add(rp_arr)
+        else:  # Pallas: no scatter-add — concat a zero-padded constant
+            u2 = u_cols + jnp.concatenate(
+                [jnp.zeros((L,), U32), rp_arr], axis=-1)
         cols = jnp.stack([u_cols, u2])
         u_limbs, carry = self._normalize(cols, 2 * L)
         return jnp.where(

@@ -1,15 +1,19 @@
-"""Hand-written Pallas TPU kernels for batched Fq limb arithmetic.
+"""Hand-written Pallas TPU kernel for the batched Fq limb multiply.
 
-The XLA path (fields/fp.py) already emits fused vectorized uint32 ops; these
-kernels give explicit control of tiling and VMEM residency for the hot
-batched multiply (BASELINE north star: limb arithmetic as hand-written
-Pallas kernels).  `bench_compare()` measures both on the current backend;
-the field layer can be pointed at the Pallas path via SIPP_TPU_USE_PALLAS=1
-(see fields/fp.py callers) once it wins on the target chip.
+The kernel runs the exact Fp._mul_impl algorithm (separated Montgomery with
+lazy carries) inside a pallas_call with explicit VMEM tiling, so all
+differential tests apply unchanged.
 
-Kernels run the same exact algorithm as Fp.mul (separated Montgomery with
-lazy carries + carry-lookahead normalization), so all differential tests
-apply unchanged.
+STATUS (round 1, jax 0.9 Mosaic): the kernel is correct in interpret mode
+(tested) but Mosaic cannot yet lower three constructs the algorithm uses on
+this toolchain: unsigned-integer reductions (worked around with chained
+adds), scatter-add from `.at[slice].add` (worked around with a concat), and
+mixed-width `tpu.concatenate` in the carry-lookahead shift (internal Mosaic
+layout bug).  The XLA path in fields/fp.py — which already fuses these ops —
+is the production path and is what bench.py measures; this kernel is kept as
+the starting point for a fully fused Miller-step kernel (the measured
+remaining win: per-op dispatch overheads at small batch).  Findings retained
+here deliberately so round 2 does not rediscover them.
 """
 
 import functools
@@ -36,20 +40,27 @@ def fq_mul_pallas(a, b, interpret: bool = False):
     B, L = a.shape
     tile = _pick_tile(B)
 
-    def kernel(a_ref, b_ref, out_ref):
-        out_ref[:] = FQ._mul_impl(a_ref[:], b_ref[:])
+    def kernel(a_ref, b_ref, p_ref, np_ref, rp_ref, out_ref):
+        out_ref[:] = FQ._mul_impl(
+            a_ref[:], b_ref[:],
+            consts=(p_ref[0], np_ref[0], rp_ref[0]),
+        )
 
+    import numpy as np
+
+    const_spec = pl.BlockSpec((1, L), lambda i: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(pl.cdiv(B, tile),),
         in_specs=[
             pl.BlockSpec((tile, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            const_spec, const_spec, const_spec,
         ],
         out_specs=pl.BlockSpec((tile, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, L), jnp.uint32),
         interpret=interpret,
-    )(a, b)
+    )(a, b, FQ.p_arr[None], jnp.asarray(FQ.np_arr_np)[None], FQ.rp_arr[None])
 
 
 def bench_compare(batch: int = 4096, reps: int = 10):

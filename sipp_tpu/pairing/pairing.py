@@ -41,6 +41,9 @@ _DIGITS = np.array(
 _TWF_X = T.fq2_encode(hostref.TWIST_FROB_X)
 _TWF_Y = T.fq2_encode(hostref.TWIST_FROB_Y)
 
+# Miller-loop lane chunk: beyond this the scan state spills VMEM on v5e.
+MILLER_CHUNK = 1024
+
 
 def _sparse12(a, b, c):
     """Build the Fq12 element a + b*w + c*v*w from Fq2 coeffs (..., 2, L)."""
@@ -137,12 +140,17 @@ def miller_loop(p_aff, q_aff):
         f = T.fq12_sqr(f)
         t, line = _dbl_step(t, xp, yp)
         f = T.fq12_mul_line(f, *line)
-        q_sel = jnp.where(digit == 1, q_aff, q_neg)
-        t_add, line_add = _add_step(t, q_sel, xp, yp)
-        f_add = T.fq12_mul_line(f, *line_add)
-        use_add = digit != 0
-        f = jnp.where(use_add, f_add, f)
-        t = jnp.where(use_add, t_add, t)
+
+        # The digit is a scalar (shared ate schedule), so lax.cond executes
+        # only one branch at runtime: zero digits (~60% of the NAF) skip the
+        # whole addition step instead of computing-and-discarding it.
+        def do_add(ft):
+            f_, t_ = ft
+            q_sel = jnp.where(digit == 1, q_aff, q_neg)
+            t_add, line_add = _add_step(t_, q_sel, xp, yp)
+            return T.fq12_mul_line(f_, *line_add), t_add
+
+        f, t = jax.lax.cond(digit != 0, do_add, lambda ft: ft, (f, t))
         return (f, t), None
 
     (f, t), _ = jax.lax.scan(body, (f0, t0), digits)
@@ -352,5 +360,17 @@ def inner_product(a_g1, b_g2, pad_to: int = None):
             [b_g2, jnp.zeros((pad_to - n,) + b_g2.shape[1:], jnp.uint32)], 0)
     # Miller + product tree fused in one device program (reduces n elements
     # to 1 before any transfer; avoids log2(n) separate dispatches); final
-    # exp on host (latency-bound).
-    return final_exp_host(_miller_product(a_g1, b_g2))
+    # exp on host (latency-bound).  Large batches are chunked: beyond ~1k
+    # lanes the Miller state spills VMEM and throughput drops ~2x (measured
+    # 4024 pair/s at n=1024 vs 2360 at n=4096 unchunked on v5e).
+    n = a_g1.shape[0]
+    if n > MILLER_CHUNK:
+        parts = [
+            _miller_product(a_g1[i : i + MILLER_CHUNK],
+                            b_g2[i : i + MILLER_CHUNK])
+            for i in range(0, n, MILLER_CHUNK)
+        ]
+        f = _product_tree(jnp.stack(parts))
+    else:
+        f = _miller_product(a_g1, b_g2)
+    return final_exp_host(f)
