@@ -59,11 +59,18 @@ G2 = CurveOps(_Fq2Adapter(), "G2")
 
 def g1_encode(points):
     """Host affine points [(x, y), ...] (or one) -> (..., 2, L) Montgomery.
-    None (infinity) encodes as (0, 0)."""
+    None (infinity) encodes as (0, 0).  Builds on host, one device transfer."""
+    from ..fields import bigint
+
     if points is None or (isinstance(points, tuple) and isinstance(points[0], int)):
         x, y = points if points is not None else (0, 0)
         return F.encode([x, y])
-    return jnp.stack([g1_encode(p) for p in points])
+    vals = []
+    for p in points:
+        x, y = p if p is not None else (0, 0)
+        vals += [(x * F.R) % F.p, (y * F.R) % F.p]
+    arr = bigint.ints_to_limbs(vals, F.L).reshape(len(points), 2, F.L)
+    return jnp.asarray(arr)
 
 
 def g1_decode(arr):
@@ -79,12 +86,20 @@ def g1_decode(arr):
 
 
 def g2_encode(points):
-    """Host affine G2 points [((x0,x1),(y0,y1)), ...] -> (..., 2, 2, L)."""
+    """Host affine G2 points [((x0,x1),(y0,y1)), ...] -> (..., 2, 2, L).
+    Builds on host, one device transfer."""
+    from ..fields import bigint
+
     if points is None:
         return jnp.zeros((2, 2, F.L), jnp.uint32)
     if isinstance(points, tuple) and isinstance(points[0][0], int):
         return tower.fq2_encode(list(points))
-    return jnp.stack([g2_encode(p) for p in points])
+    vals = []
+    for p in points:
+        ((x0, x1), (y0, y1)) = p if p is not None else ((0, 0), (0, 0))
+        vals += [(v * F.R) % F.p for v in (x0, x1, y0, y1)]
+    arr = bigint.ints_to_limbs(vals, F.L).reshape(len(points), 2, 2, F.L)
+    return jnp.asarray(arr)
 
 
 def g2_decode(arr):

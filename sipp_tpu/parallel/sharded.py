@@ -36,7 +36,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .. import curves, params
 from ..curves import G1, G2, scalar_to_bits
 from ..fields import tower
-from ..pairing import final_exp, miller_loop
+from ..pairing import miller_loop
 from ..pairing.pairing import _product_tree
 from ..protocol.transcript import Transcript
 
@@ -61,10 +61,6 @@ def shard_cyclic(arr, mesh: Mesh):
 def unshard(arr):
     """(n/d, d, ...) cyclic -> (n, ...) gathered on host order."""
     return jnp.reshape(arr, (arr.shape[0] * arr.shape[1], *arr.shape[2:]))
-
-
-def _specs(mesh, *ranks):
-    return tuple(P(None, "i", *([None] * r)) for r in ranks)
 
 
 @functools.lru_cache(maxsize=None)

@@ -67,7 +67,6 @@ def sipp_verify(a_g1, b_g2, proof) -> SIPPStatement:
 
         if native.get_lib() is not None:
             import jax
-            import numpy as np
 
             zl_u = native.fq12_dev_to_u64(jax.device_get(z_l))
             zr_u = native.fq12_dev_to_u64(jax.device_get(z_r))
