@@ -140,6 +140,40 @@ class Fp:
         carry = b[..., -1] + e[..., -1]
         return limbs, carry
 
+    def _normalize_mosaic(self, cols, num_out: int):
+        """Mosaic-safe twin of _normalize for Pallas kernels: the shifted-
+        carry-lookahead is built from pltpu.roll + iota masks (Kogge-Stone),
+        avoiding the concatenate/associative_scan constructs Mosaic cannot
+        lower (see ops/pallas_fq.py).  Bit-identical results."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        M = U32(0xFFFF)
+        t = cols[..., :num_out]
+        r = t & M
+        b = t >> 16
+        idx = jax.lax.broadcasted_iota(jnp.int32, t.shape, t.ndim - 1)
+
+        def shift_right(x, s):
+            return jnp.where(idx >= s, pltpu.roll(x, s, axis=x.ndim - 1),
+                             U32(0))
+
+        b_shift = shift_right(b, 1)
+        u = r + b_shift
+        g = u >> 16
+        p = (u == M).astype(U32)
+        e, pp, s = g, p, 1
+        while s < num_out:
+            e = e | (pp & shift_right(e, s))
+            pp = pp & shift_right(pp, s)
+            s *= 2
+        e_shift = shift_right(e, 1)
+        c = b_shift + e_shift
+        limbs = (r + c) & M
+        # positive static index: negative indexing lowers to dynamic_slice,
+        # which Mosaic cannot lower
+        carry = b[..., num_out - 1] + e[..., num_out - 1]
+        return limbs, carry
+
     def _sub_limbs(self, a, b):
         """(a - b) over L limbs; returns (diff_limbs, borrow (...,) in {0,1})."""
         # two's complement: a - b = a + (M - b) + 1 over 16-bit limbs
@@ -202,22 +236,31 @@ class Fp:
         hi = p >> 16
         width = L if low_only else 2 * L
         # Row i of lo contributes to columns i..i+L-1, row i of hi to
-        # i+1..i+L: realize the shifts with static pads and one big sum
-        # (a single reduce op — far cheaper to compile and run than a chain
-        # of dynamic-update-slice adds).
+        # i+1..i+L.
+        if not use_reduce:
+            # Mosaic (Pallas) path: no unsigned reductions, and jnp.pad's
+            # width-1 intermediate concats hit a Mosaic layout bug.  Widen by
+            # an equal-half concat and shift with pltpu.roll (the wrapped-in
+            # top half is all zeros for shifts <= L), accumulating with
+            # chained adds.
+            from jax.experimental.pallas import tpu as pltpu
+
+            z = jnp.zeros_like(lo[..., 0, :])
+            acc = None
+            for i in range(L):
+                lo32 = jnp.concatenate([lo[..., i, :], z], axis=-1)
+                hi32 = jnp.concatenate([hi[..., i, :], z], axis=-1)
+                term = pltpu.roll(lo32, i, axis=lo32.ndim - 1) + \
+                    pltpu.roll(hi32, i + 1, axis=hi32.ndim - 1)
+                acc = term if acc is None else acc + term
+            return acc[..., :width]
         rows = []
         for i in range(L):
             lo_row = jnp.pad(lo[..., i, :], [(0, 0)] * (lo.ndim - 2) + [(i, L - i)])
             hi_row = jnp.pad(hi[..., i, :], [(0, 0)] * (hi.ndim - 2) + [(i + 1, L - i - 1)])
             rows.append(lo_row)
             rows.append(hi_row)
-        if use_reduce:
-            acc = jnp.sum(jnp.stack(rows), axis=0)      # (..., 2L), sums < 2^22
-        else:
-            # Mosaic (Pallas TPU) lacks unsigned reductions: chain the adds.
-            acc = rows[0]
-            for r in rows[1:]:
-                acc = acc + r
+        acc = jnp.sum(jnp.stack(rows), axis=0)          # (..., 2L), sums < 2^22
         return acc[..., :width]
 
     def _normalize(self, cols, num_out: int):
@@ -244,14 +287,19 @@ class Fp:
         assert a.shape[-1] == self.L and b.shape[-1] == self.L, (
             f"expected {self.L} limbs, got {a.shape} x {b.shape}")
         L = self.L
-        p_arr, np_arr, rp_arr = consts if consts is not None else (
-            self.p_arr, jnp.asarray(self.np_arr_np), self.rp_arr)
-        use_reduce = consts is None
+        if consts is not None:
+            p_arr, np_arr, rp_full = consts
+            use_reduce = False
+            norm = self._normalize_mosaic
+        else:
+            p_arr, np_arr = self.p_arr, jnp.asarray(self.np_arr_np)
+            use_reduce = True
+            norm = self._normalize
         # T = a*b  (exact 2L limbs; T < p^2 < R^2)
-        t_limbs, _ = self._normalize(
+        t_limbs, _ = norm(
             self._prod_cols(a, b, use_reduce=use_reduce), 2 * L)
         # m = (T mod R) * N' mod R
-        m_limbs, _ = self._normalize(
+        m_limbs, _ = norm(
             self._prod_cols(t_limbs[..., :L], np_arr, low_only=True,
                             use_reduce=use_reduce), L)
         # U = T + m*p ; low L limbs cancel; result = U >> 16L < 2p.
@@ -260,12 +308,11 @@ class Fp:
         u_cols = self._prod_cols(m_limbs, p_arr, use_reduce=use_reduce)
         u_cols = u_cols + t_limbs  # t_limbs are normalized 16-bit limbs
         if use_reduce:
-            u2 = u_cols.at[..., L:].add(rp_arr)
-        else:  # Pallas: no scatter-add — concat a zero-padded constant
-            u2 = u_cols + jnp.concatenate(
-                [jnp.zeros((L,), U32), rp_arr], axis=-1)
+            u2 = u_cols.at[..., L:].add(self.rp_arr)
+        else:  # Pallas: no scatter-add — add the host-prepadded constant
+            u2 = u_cols + rp_full
         cols = jnp.stack([u_cols, u2])
-        u_limbs, carry = self._normalize(cols, 2 * L)
+        u_limbs, carry = norm(cols, 2 * L)
         return jnp.where(
             (carry[1] != 0)[..., None], u_limbs[1, ..., L:], u_limbs[0, ..., L:]
         )

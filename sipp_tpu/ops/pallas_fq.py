@@ -5,14 +5,17 @@ lazy carries) inside a pallas_call with explicit VMEM tiling, so all
 differential tests apply unchanged.
 
 STATUS (round 1, jax 0.9 Mosaic): the kernel is correct in interpret mode
-(tested) but Mosaic cannot yet lower three constructs the algorithm uses on
-this toolchain: unsigned-integer reductions (worked around with chained
-adds), scatter-add from `.at[slice].add` (worked around with a concat), and
-mixed-width `tpu.concatenate` in the carry-lookahead shift (internal Mosaic
-layout bug).  The XLA path in fields/fp.py — which already fuses these ops —
-is the production path and is what bench.py measures; this kernel is kept as
-the starting point for a fully fused Miller-step kernel (the measured
-remaining win: per-op dispatch overheads at small batch).  Findings retained
+(tested) but Mosaic on this toolchain cannot lower the algorithm's shape of
+uint32 limb code.  Worked around in fields/fp.py (consts=... kernel path):
+unsigned reductions -> chained adds; `.at[slice].add` scatter -> prepadded
+constant; jnp.pad / negative indexing -> pltpu.roll + iota masks and
+positive static indices; carry-lookahead associative_scan -> Kogge-Stone
+with rolls.  STILL BLOCKED on `tpu.concatenate` of offset-layout vectors
+(internal Mosaic layout bug, hit even for aligned equal-width halves).  The
+round-2 fix is a transposed in-kernel layout (limbs on sublanes, batch on
+lanes) that needs no lane-axis concatenation at all — likely the right
+layout for VPU utilization anyway.  Until then the XLA path in fields/fp.py
+is the production path and is what bench.py measures.  Findings retained
 here deliberately so round 2 does not rediscover them.
 """
 
@@ -40,27 +43,30 @@ def fq_mul_pallas(a, b, interpret: bool = False):
     B, L = a.shape
     tile = _pick_tile(B)
 
-    def kernel(a_ref, b_ref, p_ref, np_ref, rp_ref, out_ref):
+    def kernel(a_ref, b_ref, p_ref, np_ref, rpf_ref, out_ref):
         out_ref[:] = FQ._mul_impl(
             a_ref[:], b_ref[:],
-            consts=(p_ref[0], np_ref[0], rp_ref[0]),
+            consts=(p_ref[0], np_ref[0], rpf_ref[0]),
         )
 
     import numpy as np
 
     const_spec = pl.BlockSpec((1, L), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    const2_spec = pl.BlockSpec((1, 2 * L), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    rp_full = jnp.concatenate(
+        [jnp.zeros((L,), jnp.uint32), FQ.rp_arr])[None]
     return pl.pallas_call(
         kernel,
         grid=(pl.cdiv(B, tile),),
         in_specs=[
             pl.BlockSpec((tile, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            const_spec, const_spec, const_spec,
+            const_spec, const_spec, const2_spec,
         ],
         out_specs=pl.BlockSpec((tile, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, L), jnp.uint32),
         interpret=interpret,
-    )(a, b, FQ.p_arr[None], jnp.asarray(FQ.np_arr_np)[None], FQ.rp_arr[None])
+    )(a, b, FQ.p_arr[None], jnp.asarray(FQ.np_arr_np)[None], rp_full)
 
 
 def bench_compare(batch: int = 4096, reps: int = 10):
