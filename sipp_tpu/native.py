@@ -154,6 +154,26 @@ def u64_to_fq12_dev(arr) -> np.ndarray:
     return out.reshape(*batch, 2, 3, 2, 16)
 
 
+def fq12_u64_to_tower_ints(arr):
+    """Host decode: (12, 4) uint64 Montgomery coeffs -> nested tower int
+    tuple ((c0,c1) x3) x2, same format as tower.fq12_decode — pure Python,
+    no device ops (prover hot path: transcript appends)."""
+    from . import params
+
+    rinv = pow(1 << 256, -1, params.P)
+
+    def val(l4):
+        x = (int(l4[0]) | int(l4[1]) << 64 | int(l4[2]) << 128
+             | int(l4[3]) << 192)
+        return (x * rinv) % params.P
+
+    flat = [val(arr[k]) for k in range(12)]
+    return tuple(
+        tuple((flat[i * 6 + j * 2], flat[i * 6 + j * 2 + 1]) for j in range(3))
+        for i in range(2)
+    )
+
+
 def hash_no_pad(inputs) -> list:
     """Native hash_n_to_hash_no_pad; caller guarantees get_lib() is not None."""
     lib = get_lib()

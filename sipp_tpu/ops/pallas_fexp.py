@@ -1,0 +1,214 @@
+"""Fused Pallas TPU kernel for the BN254 final exponentiation.
+
+After the Fq12 product tree the final-exp input has no batch axis; its ~800
+dependent Fq12 multiplies are pure dispatch latency as XLA ops (~100 ms on a
+v5e) and were therefore run on the host C++ kernel in round 1 — at the cost
+of a device->host->device round trip (~25 ms through the axon tunnel,
+NOTES_NEXT.md item 3).  This module runs the ENTIRE final exponentiation —
+easy part (with the Fq12 tower inversion), the three x-power chains, and the
+lambda addition-chain tape — inside ONE pallas_call, so the whole tail is a
+single device op with zero host traffic.
+
+Algorithm identical to pairing/pairing.py final_exp (easy part
+`(conj(f)·f^-1)^(p^2+1)` then the exact lambda decomposition tape _TAPE);
+reference semantics: the final exponentiation of the per-pair `pairing` calls
+(/root/reference/src/prover_native.rs:20; SURVEY.md D5).  Differentially
+tested bit-exact against final_exp in tests/test_pallas.py.
+
+Layouts: transposed (ops/tmul.py) — limbs on sublanes, batch on lanes.
+The register file for the addition-chain tape lives in a VMEM scratch of
+12 Fq12 slots, dynamically indexed by the SMEM instruction tape.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import params
+from ..fields import FQ, tower
+from . import tmul as t
+from .pallas_miller import fq6_mul, fq6_mul_by_v
+
+L = FQ.L
+
+# Frobenius constants pi^1..3 as one (3, 6, 2, L) array (Montgomery form),
+# same coefficient order as tower._FROB_C (i-major over (w^i v^j)).
+FROB_NP = np.stack(
+    [np.asarray(jax.device_get(tower._FROB_C[k])).reshape(6, 2, L)
+     for k in (1, 2, 3)]
+)
+
+_PM2_BITS = np.array([int(b) for b in bin(params.P - 2)[2:]], dtype=np.uint32)
+_X_BITS = np.array([int(b) for b in bin(params.X)[2:]], dtype=np.uint32)
+NB_P = len(_PM2_BITS)
+NB_X = len(_X_BITS)
+
+
+def _tape():
+    from ..pairing.pairing import _TAPE
+    return _TAPE
+
+
+# --------------------------------------------------- Fq12 ops (transposed)
+
+def fq12_mul(a, b):
+    """Karatsuba Fq12 multiply (mirror of tower.fq12_mul)."""
+    a0, a1 = a[..., 0, :, :, :, :], a[..., 1, :, :, :, :]
+    b0, b1 = b[..., 0, :, :, :, :], b[..., 1, :, :, :, :]
+    x = jnp.stack([a0, a1, t.add(a0, a1)])
+    y = jnp.stack([b0, b1, t.add(b0, b1)])
+    v = fq6_mul(x, y)
+    c0 = t.add(v[0], fq6_mul_by_v(v[1]))
+    c1 = t.sub(v[2], t.add(v[0], v[1]))
+    return jnp.stack([c0, c1], axis=-5)
+
+
+def fq12_conj(a):
+    """f^(p^6): negate the w half."""
+    return jnp.stack(
+        [a[..., 0, :, :, :, :], t.neg(a[..., 1, :, :, :, :])], axis=-5
+    )
+
+
+def fq12_cyclo_sqr(g):
+    """Granger-Scott cyclotomic squaring (mirror of tower.fq12_cyclo_sqr)."""
+    z0 = g[..., 0, 0, :, :, :]; z4 = g[..., 0, 1, :, :, :]
+    z3 = g[..., 0, 2, :, :, :]; z2 = g[..., 1, 0, :, :, :]
+    z1 = g[..., 1, 1, :, :, :]; z5 = g[..., 1, 2, :, :, :]
+    x = jnp.stack([z0, z1, z0, z2, z3, z2, z4, z5, z4])
+    y = jnp.stack([z0, z1, z1, z2, z3, z3, z4, z5, z5])
+    v = t.fq2_mul(x, y)
+
+    def fp4(a2, b2, ab):
+        return t.add(a2, t.fq2_mul_xi(b2)), t.double(ab)
+
+    t0_, t1_ = fp4(v[0], v[1], v[2])
+    u0, u1 = fp4(v[3], v[4], v[5])
+    s0, s1 = fp4(v[6], v[7], v[8])
+
+    def tri(tt, z, plus):
+        r = t.add(t.double(tt), tt)
+        return t.add(r, t.double(z)) if plus else t.sub(r, t.double(z))
+
+    lo = jnp.stack([tri(t0_, z0, False), tri(u0, z4, False),
+                    tri(s0, z3, False)], axis=-4)
+    hi = jnp.stack([tri(t.fq2_mul_xi(s1), z2, True), tri(t1_, z1, True),
+                    tri(u1, z5, True)], axis=-4)
+    return jnp.stack([lo, hi], axis=-5)
+
+
+def fq12_frob(a, frob, k: int):
+    """a^(p^k), k in {1,2,3}; frob: the (3, 6, 2, L) constant table."""
+    if k % 2:
+        a = jnp.concatenate(
+            [a[..., 0:1, :, :], t.neg(a[..., 1:2, :, :])], axis=-3
+        )
+    c = a.reshape(*a.shape[:-5], 6, 2, L, a.shape[-1])
+    out = t.fq2_mul(c, frob[k - 1][..., None])
+    return out.reshape(a.shape)
+
+
+def fq6_inv(a, pm2_ref):
+    """Mirror of tower.fq6_inv (one Fq2 inversion)."""
+    a0, a1, a2 = a[..., 0, :, :, :], a[..., 1, :, :, :], a[..., 2, :, :, :]
+    prods = t.fq2_mul(
+        jnp.stack([a0, a1, a2, a1, a0, a0]),
+        jnp.stack([a0, a1, a2, a2, a1, a2]),
+    )
+    s0, s1, s2, p12, p01, p02 = (prods[i] for i in range(6))
+    A = t.sub(s0, t.fq2_mul_xi(p12))
+    B = t.sub(t.fq2_mul_xi(s2), p01)
+    C = t.sub(s1, p02)
+    u = t.fq2_mul(jnp.stack([a0, a2, a1]), jnp.stack([A, B, C]))
+    tt = t.add(u[0], t.fq2_mul_xi(t.add(u[1], u[2])))
+    tinv = t.fq2_inv(tt, pm2_ref, NB_P)
+    out = t.fq2_mul(jnp.stack([A, B, C]), tinv[None])
+    return jnp.moveaxis(out, 0, -4)
+
+
+def fq12_inv(a, pm2_ref):
+    """Mirror of tower.fq12_inv (norm-map descent, one Fq Fermat inv)."""
+    a0, a1 = a[..., 0, :, :, :, :], a[..., 1, :, :, :, :]
+    sq = fq6_mul(jnp.stack([a0, a1]), jnp.stack([a0, a1]))
+    tt = fq6_inv(t.sub(sq[0], fq6_mul_by_v(sq[1])), pm2_ref)
+    return jnp.stack([fq6_mul(a0, tt), t.neg(fq6_mul(a1, tt))], axis=-5)
+
+
+def _powx(v, x_ref):
+    """v^x (x = BN parameter, MSB bit 1) by cyclotomic square-and-multiply."""
+
+    def body(i, acc):
+        acc = fq12_cyclo_sqr(acc)
+        return jnp.where(x_ref[i] != 0, fq12_mul(acc, v), acc)
+
+    return jax.lax.fori_loop(1, NB_X, body, v)
+
+
+# ------------------------------------------------------------------ kernel
+
+def _fexp_kernel(c_ref, frob_ref, pm2_ref, x_ref, tape_ref, f_ref,
+                 o_ref, regs_ref):
+    with t.bound_consts(c_ref[:]):
+        frob = frob_ref[:]
+        f = f_ref[:]
+        # easy part: g = (conj(f) * f^-1)^(p^2) * (conj(f) * f^-1)
+        g = fq12_mul(fq12_conj(f), fq12_inv(f, pm2_ref))
+        g = fq12_mul(fq12_frob(g, frob, 2), g)
+        # register file: 0=g, 1=g^x, 2=g^(x^2), 3=g^(x^3), 4..11 scratch
+        regs_ref[0] = g
+        v = g
+        for k in (1, 2, 3):
+            v = _powx(v, x_ref)
+            regs_ref[k] = v
+
+        def tape_step(i, carry):
+            dst, s1, s2 = tape_ref[i, 0], tape_ref[i, 1], tape_ref[i, 2]
+            post = tape_ref[i, 3]
+            x1 = regs_ref[pl.ds(s1, 1)][0]
+            x2 = regs_ref[pl.ds(s2, 1)][0]
+            r = fq12_mul(x1, x2)
+            r = jnp.where(post == 1, fq12_conj(r), r)
+            r = jnp.where(post == 2, fq12_frob(r, frob, 1), r)
+            r = jnp.where(post == 3, fq12_frob(r, frob, 2), r)
+            regs_ref[pl.ds(dst, 1)] = r[None]
+            return carry
+
+        jax.lax.fori_loop(0, _tape().shape[0], tape_step, 0)
+        o_ref[:] = fq12_mul(regs_ref[5], fq12_frob(regs_ref[0], frob, 3))
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def final_exp_fused(f, interpret: bool = False):
+    """f^((p^12-1)/r) as ONE Pallas kernel.  f: (B, 2, 3, 2, L) standard
+    layout, B small (the post-product-tree tail; VMEM register file is
+    12 Fq12 slots x B lanes).  Bit-identical to pairing.final_exp."""
+    assert f.ndim == 5 and f.shape[0] <= 16, "fexp kernel is a small-B tail"
+    B = f.shape[0]
+    ft = jnp.transpose(f, (1, 2, 3, 4, 0))
+    out = pl.pallas_call(
+        _fexp_kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # consts
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # frobenius table
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # p-2 bits
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # x bits
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # tape
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # f
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, 3, 2, L, B), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((12, 2, 3, 2, L, B), jnp.uint32)],
+        interpret=interpret,
+    )(
+        jnp.asarray(t.CONSTS_NP),
+        jnp.asarray(FROB_NP),
+        jnp.asarray(_PM2_BITS),
+        jnp.asarray(_X_BITS),
+        jnp.asarray(_tape()),
+        ft,
+    )
+    return jnp.transpose(out, (4, 0, 1, 2, 3))

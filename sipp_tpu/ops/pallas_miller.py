@@ -1,0 +1,203 @@
+"""Fused Pallas TPU kernel for one Miller-loop step (square + double + line
+multiply [+ conditional add step]).
+
+Round-1 measurement (NOTES_NEXT.md): the n=128 Miller loop costs ~40 ms as
+64 lax.scan steps of ~30 XLA ops each — per-op dispatch dominates at small
+batch.  This module fuses the ENTIRE step body into one pallas_call using the
+transposed limb layout of ops/tmul.py (limbs on sublanes, batch on lanes), so
+a scan step is ONE device op.
+
+The field/tower math mirrors pairing/pairing.py's _dbl_step/_add_step/
+fq12_sqr/fq12_mul_line formulas exactly (same Jacobian doubling, same scaled
+line coefficients — reference semantics SURVEY.md D5,
+/root/reference/src/prover_native.rs:20) and is differentially tested
+bit-exact against them (tests/test_pallas.py).
+
+Layouts inside the kernel (uint32, L=16 limbs, B batch lanes):
+    Fq   : (..., L, B)
+    Fq2  : (..., 2, L, B)
+    Fq12 : (2, 3, 2, L, B)
+    G2 Jacobian: (3, 2, L, B); G2 affine: (2, 2, L, B)
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields import FQ
+from . import tmul as t
+
+L = FQ.L
+
+
+# ------------------------------------------------------------- Fq6 / Fq12
+
+def fq6_mul(a, b):
+    """Toom/Karatsuba Fq6 multiply (mirror of tower.fq6_mul)."""
+    a0, a1, a2 = a[..., 0, :, :, :], a[..., 1, :, :, :], a[..., 2, :, :, :]
+    b0, b1, b2 = b[..., 0, :, :, :], b[..., 1, :, :, :], b[..., 2, :, :, :]
+    x = jnp.stack([a0, a1, a2, t.add(a1, a2), t.add(a0, a1), t.add(a0, a2)])
+    y = jnp.stack([b0, b1, b2, t.add(b1, b2), t.add(b0, b1), t.add(b0, b2)])
+    v = t.fq2_mul(x, y)
+    v0, v1, v2, t12, t01, t02 = (v[i] for i in range(6))
+    c0 = t.add(v0, t.fq2_mul_xi(t.sub(t12, t.add(v1, v2))))
+    c1 = t.add(t.sub(t01, t.add(v0, v1)), t.fq2_mul_xi(v2))
+    c2 = t.add(t.sub(t02, t.add(v0, v2)), v1)
+    return jnp.stack([c0, c1, c2], axis=-4)
+
+
+def fq6_mul_by_v(a):
+    """v * (c0 + c1 v + c2 v^2) = xi*c2 + c0 v + c1 v^2."""
+    return jnp.concatenate(
+        [t.fq2_mul_xi(a[..., 2, :, :, :])[..., None, :, :, :],
+         a[..., 0:2, :, :, :]],
+        axis=-4,
+    )
+
+
+def fq12_sqr(a):
+    """Complex squaring (mirror of tower.fq12_sqr)."""
+    a0, a1 = a[..., 0, :, :, :, :], a[..., 1, :, :, :, :]
+    x = jnp.stack([a0, t.add(a0, a1)])
+    y = jnp.stack([a1, t.add(a0, fq6_mul_by_v(a1))])
+    v = fq6_mul(x, y)
+    tt = v[0]
+    u = v[1]
+    c0 = t.sub(u, t.add(tt, fq6_mul_by_v(tt)))
+    c1 = t.double(tt)
+    return jnp.stack([c0, c1], axis=-5)
+
+
+def fq12_mul_line(f, a, b, c):
+    """f * (a + b*w + c*v*w) sparse multiply (mirror of tower.fq12_mul_line)."""
+    f0, f1 = f[..., 0, :, :, :, :], f[..., 1, :, :, :, :]
+    f00, f01, f02 = f0[..., 0, :, :, :], f0[..., 1, :, :, :], f0[..., 2, :, :, :]
+    f10, f11, f12 = f1[..., 0, :, :, :], f1[..., 1, :, :, :], f1[..., 2, :, :, :]
+    s0, s1, s2 = t.add(f00, f10), t.add(f01, f11), t.add(f02, f12)
+    ab = t.add(a, b)
+    x = jnp.stack([f00, f01, f02, f10, f11, f12, f10, f11, f12,
+                   s0, s1, s2, s0, s1, s2])
+    y = jnp.stack(jnp.broadcast_arrays(a, a, a, b, b, b, c, c, c,
+                                       ab, ab, ab, c, c, c))
+    v = t.fq2_mul(x, y)
+    v00, v01, v02 = v[0], v[1], v[2]
+    r0 = t.add(v[3], t.fq2_mul_xi(v[8]))
+    r1 = t.add(v[4], v[6])
+    r2 = t.add(v[5], v[7])
+    t0 = t.add(v[9], t.fq2_mul_xi(v[14]))
+    t1 = t.add(v[10], v[12])
+    t2 = t.add(v[11], v[13])
+    c00 = t.add(v00, t.fq2_mul_xi(r2))
+    c01 = t.add(v01, r0)
+    c02 = t.add(v02, r1)
+    c10 = t.sub(t0, t.add(v00, r0))
+    c11 = t.sub(t1, t.add(v01, r1))
+    c12 = t.sub(t2, t.add(v02, r2))
+    lo = jnp.stack([c00, c01, c02], axis=-4)
+    hi = jnp.stack([c10, c11, c12], axis=-4)
+    return jnp.stack([lo, hi], axis=-5)
+
+
+# ------------------------------------------------------------- curve steps
+
+def dbl_step(tj, xp, yp):
+    """Fused Jacobian doubling + scaled line (mirror of pairing._dbl_step)."""
+    X, Y, Z = tj[..., 0, :, :, :], tj[..., 1, :, :, :], tj[..., 2, :, :, :]
+    v = t.fq2_mul(jnp.stack([X, Y, Z, Y]), jnp.stack([X, Y, Z, Z]))
+    A, B, ZZ, YZ = v[0], v[1], v[2], v[3]
+    XB = t.add(X, B)
+    v = t.fq2_mul(
+        jnp.stack([B, XB, YZ, A, X]),
+        jnp.stack([B, XB, ZZ, ZZ, A]),
+    )
+    C, D, T1, T2, T3 = v[0], v[1], v[2], v[3], v[4]
+    S = t.double(t.sub(t.sub(D, A), C))
+    M = t.add(t.double(A), A)
+    MM = t.fq2_mul(M, M)
+    X3 = t.sub(MM, t.double(S))
+    Y3a = t.fq2_mul(M, t.sub(S, X3))
+    C8 = t.double(t.double(t.double(C)))
+    Y3 = t.sub(Y3a, C8)
+    Z3 = t.double(YZ)
+    t2 = jnp.stack([X3, Y3, Z3], axis=-4)
+    a = t.fq2_scale(t.double(T1), yp)
+    b = t.neg(t.fq2_scale(t.add(t.double(T2), T2), xp))
+    c = t.sub(t.add(t.double(T3), T3), t.double(B))
+    return t2, (a, b, c)
+
+
+def add_step(tj, q, xp, yp):
+    """Fused mixed addition + line (mirror of pairing._add_step)."""
+    X, Y, Z = tj[..., 0, :, :, :], tj[..., 1, :, :, :], tj[..., 2, :, :, :]
+    x2, y2 = q[..., 0, :, :, :], q[..., 1, :, :, :]
+    ZZ = t.fq2_mul(Z, Z)
+    v = t.fq2_mul(jnp.stack([ZZ, x2]), jnp.stack([Z, ZZ]))
+    ZZZ, U2 = v[0], v[1]
+    S2 = t.fq2_mul(y2, ZZZ)
+    H = t.sub(U2, X)
+    R = t.sub(S2, Y)
+    v = t.fq2_mul(jnp.stack([H, R]), jnp.stack([H, R]))
+    HH, RR = v[0], v[1]
+    v = t.fq2_mul(jnp.stack([H, X, Z]), jnp.stack([HH, HH, H]))
+    HHH, V, Z3 = v[0], v[1], v[2]
+    X3 = t.sub(t.sub(RR, HHH), t.double(V))
+    v = t.fq2_mul(jnp.stack([R, Y]), jnp.stack([t.sub(V, X3), HHH]))
+    Y3 = t.sub(v[0], v[1])
+    t3 = jnp.stack([X3, Y3, Z3], axis=-4)
+    v = t.fq2_mul(jnp.stack([R, Z3]), jnp.stack([x2, y2]))
+    c = t.sub(v[0], v[1])
+    a = t.fq2_scale(Z3, yp)
+    b = t.neg(t.fq2_scale(R, xp))
+    return t3, (a, b, c)
+
+
+# ------------------------------------------------------------- fused kernel
+
+def _step_kernel(d_ref, c_ref, qp_ref, qn_ref, p_ref, f_ref, t_ref,
+                 fo_ref, to_ref):
+    with t.bound_consts(c_ref[:]):
+        xp, yp = p_ref[0], p_ref[1]
+        f = fq12_sqr(f_ref[:])
+        t2, line = dbl_step(t_ref[:], xp, yp)
+        fo_ref[:] = fq12_mul_line(f, *line)
+        to_ref[:] = t2
+
+        @pl.when(d_ref[0] != 0)
+        def _():
+            q = jnp.where(d_ref[0] == 1, qp_ref[:], qn_ref[:])
+            t3, line2 = add_step(to_ref[:], q, xp, yp)
+            fo_ref[:] = fq12_mul_line(fo_ref[:], *line2)
+            to_ref[:] = t3
+
+
+@functools.partial(jax.jit, static_argnums=(6,))
+def miller_step(digit, consts, qp, qn, p, carry, interpret: bool = False):
+    """One fused Miller step.  carry = (f, t) in transposed layout."""
+    f, tj = carry
+    B = f.shape[-1]
+    fo, to = pl.pallas_call(
+        _step_kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, 3, 2, L, B), jnp.uint32),
+            jax.ShapeDtypeStruct((3, 2, L, B), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(digit, jnp.uint32).reshape(1), consts, qp, qn, p, f, tj)
+    return fo, to

@@ -1,0 +1,285 @@
+"""Transposed-layout Fq/tower primitives for Pallas TPU kernels.
+
+Layout: an Fq element is (..., L, B) uint32 — limbs on the SUBLANE axis
+(axis -2), batch on the LANE axis (axis -1).  This is the round-1 "round-2
+fix" recorded in ops/pallas_fq.py: every limb shift becomes a sublane
+`pltpu.roll`, and no lane-axis concatenate/pad/slice ever occurs, which
+sidesteps the Mosaic `tpu.concatenate` offset-layout bug that blocked the
+batch-on-sublanes kernel.  The lane axis carries only independent batch
+elements, exactly what the VPU wants.
+
+Everything here is plain jnp + pltpu.roll, so the same functions run
+  - inside pallas_call kernels (Mosaic), the production path, and
+  - under pallas interpret mode for CPU differential tests.
+
+Pallas kernels cannot capture array constants (they must be inputs), so the
+field constants are packed into ONE (NCONST, 2L) uint32 array (`CONSTS_NP`);
+kernels take it as an input ref and bind it around the math with
+`with bound_consts(ref[:]): ...`.  Outside kernels, `bound_consts(CONSTS_NP)`
+works directly.
+
+Semantics are bit-identical to fields/fp.py (same separated-Montgomery SOS
+algorithm, same fused conditional subtraction); differentially tested against
+it in tests/test_pallas.py.  Reference semantics: ark-bn254 Fq/Fq2/Fq6/Fq12
+(SURVEY.md D1; /root/reference/src/prover_native.rs:3).
+"""
+
+import contextlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields import FQ
+
+L = FQ.L
+U32 = jnp.uint32
+
+# Packed constant table: one (NCONST, 2L) uint32 array -> kernel input.
+# Row layout (each used as a (., 1) column broadcast over lanes):
+#   0: p limbs        ‖ zeros          (rows give both L- and 2L-wide views)
+#   1: N' limbs       ‖ zeros
+#   2: R-p limbs      ‖ zeros
+#   3: zeros          ‖ R-p limbs      ((R-p) << 16L, for the fused mul cond-sub)
+_p = np.array(FQ.p_limbs, dtype=np.uint32)
+_np_ = FQ.np_arr_np.astype(np.uint32)
+_rp = np.asarray(jax.device_get(FQ.rp_arr), dtype=np.uint32)
+_one = np.asarray(jax.device_get(FQ.one_mont), dtype=np.uint32)
+_z = np.zeros(L, np.uint32)
+CONSTS_NP = np.stack([
+    np.concatenate([_p, _z]),
+    np.concatenate([_np_, _z]),
+    np.concatenate([_rp, _z]),
+    np.concatenate([_z, _rp]),
+    np.concatenate([_one, _z]),      # 4: Montgomery one (R mod p)
+])
+NCONST = CONSTS_NP.shape[0]
+
+_BOUND = None  # (NCONST, 2L) array value bound inside the current trace
+
+
+@contextlib.contextmanager
+def bound_consts(consts):
+    """Bind the packed constant table for the tmul ops in this trace."""
+    global _BOUND
+    prev = _BOUND
+    _BOUND = consts
+    try:
+        yield
+    finally:
+        _BOUND = prev
+
+
+def _c(row: int, wide: bool = False):
+    """Constant row as a (K, 1) column (K = L or 2L)."""
+    assert _BOUND is not None, "tmul ops need `with bound_consts(...)`"
+    k = 2 * L if wide else L
+    return _BOUND[row, :k][..., None]
+
+
+def _shift_up(x, s: int):
+    """Shift limbs toward higher index along axis -2, zero-filling below.
+
+    x: (..., K, B).  s static.  Mirrors fields/fp.py _normalize_mosaic's
+    shift_right but on the sublane axis.
+    """
+    if s == 0:
+        return x
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
+    return jnp.where(idx >= s, pltpu.roll(x, s, axis=x.ndim - 2), 0)
+
+
+def norm(cols, num_out: int):
+    """Exact carry propagation of (..., K, B) uint32 columns (< 2^31) into
+    num_out 16-bit limbs.  Kogge-Stone carry-lookahead along the sublane
+    axis (see fields/fp.py _normalize for the derivation).
+
+    Returns (limbs (..., num_out, B), carry_out (..., B)).
+    """
+    t = cols[..., :num_out, :]
+    r = t & 0xFFFF
+    b = t >> 16
+    b_shift = _shift_up(b, 1)
+    u = r + b_shift
+    g = u >> 16                      # in {0, 1}
+    p = (u == 0xFFFF).astype(U32)
+    e, pp, s = g, p, 1
+    while s < num_out:
+        e = e | (pp & _shift_up(e, s))
+        pp = pp & _shift_up(pp, s)
+        s *= 2
+    c = b_shift + _shift_up(e, 1)
+    limbs = (r + c) & 0xFFFF
+    carry = b[..., num_out - 1, :] + e[..., num_out - 1, :]
+    return limbs, carry
+
+
+def _prod_full(a, b_wide):
+    """Full product columns of a (..., L, B) with b_wide (..., 2L, B)
+    (top half zero).  Returns (..., 2L, B) columns, each < 2^21."""
+    acc = None
+    for i in range(L):
+        t = a[..., i : i + 1, :] * b_wide        # exact: both limbs < 2^16
+        lo = t & 0xFFFF
+        hi = t >> 16
+        # contributions: lo -> columns i..i+L-1, hi -> i+1..i+L; the top-L
+        # zeros of b_wide make the roll wraparound safe (shift <= L).
+        term = pltpu.roll(lo, i, axis=lo.ndim - 2) if i else lo
+        term = term + pltpu.roll(hi, i + 1, axis=hi.ndim - 2)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _prod_low(a, b):
+    """Low L columns of the product of two (..., L, B) operands (mod R).
+    Masked shifts discard contributions to columns >= L."""
+    acc = None
+    for i in range(L):
+        t = a[..., i : i + 1, :] * b
+        term = _shift_up(t & 0xFFFF, i) + _shift_up(t >> 16, i + 1)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _widen(b):
+    """(..., L, B) -> (..., 2L, B) with top half zero (sublane concat)."""
+    return jnp.concatenate([b, jnp.zeros_like(b)], axis=-2)
+
+
+def mul(a, b):
+    """Montgomery product a*b*R^-1 mod p, fully reduced (< p).
+
+    Bit-identical to fields/fp.py Fp._mul_impl: T = a*b; m = T*N' mod R;
+    U = T + m*p; result = U >> 16L with fused conditional subtract.
+    """
+    t_cols = _prod_full(a, _widen(b))
+    t_limbs, _ = norm(t_cols, 2 * L)
+    m_cols = _prod_low(t_limbs[..., :L, :], _c(1))
+    m_limbs, _ = norm(m_cols, L)
+    u_cols = _prod_full(m_limbs, _c(0, wide=True)) + t_limbs
+    u2 = u_cols + _c(3, wide=True)
+    limbs, carry = norm(jnp.stack([u_cols, u2]), 2 * L)
+    return jnp.where(
+        (carry[1] != 0)[..., None, :],
+        limbs[1, ..., L:, :],
+        limbs[0, ..., L:, :],
+    )
+
+
+def add(a, b):
+    """(a + b) mod p; fused conditional subtract (fields/fp.py add)."""
+    s = a + b
+    cols = jnp.stack([s, s + _c(2)])
+    limbs, carry = norm(cols, L)
+    return jnp.where((carry[1] != 0)[..., None, :], limbs[1], limbs[0])
+
+
+def sub(a, b):
+    """(a - b) mod p via two's complement (fields/fp.py sub)."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 2)
+    one = jnp.where(idx == 0, 1, 0).astype(U32)
+    d = a + (0xFFFF - b) + one
+    cols = jnp.stack([d, d + _c(0)])
+    limbs, carry = norm(cols, L)
+    return jnp.where((carry[0] != 0)[..., None, :], limbs[0], limbs[1])
+
+
+def neg(a):
+    return sub(jnp.zeros_like(a), a)
+
+
+def double(a):
+    return add(a, a)
+
+
+def mul9(a):
+    return add(double(double(double(a))), a)
+
+
+def pow_bits_ref(a, bits_ref, nbits: int):
+    """a^e with e given as MSB-first bits in a (nbits,) SMEM ref whose leading
+    bit is 1 (so acc starts at a).  Square-and-multiply with a branch-free
+    lane select; runs inside kernels (fori_loop + dynamic SMEM scalar read)."""
+
+    def body(i, acc):
+        acc = mul(acc, acc)
+        return jnp.where(bits_ref[i] != 0, mul(acc, a), acc)
+
+    return jax.lax.fori_loop(1, nbits, body, a)
+
+
+def inv(a, pm2_ref, nbits: int):
+    """Fermat inversion a^(p-2) (Montgomery in, Montgomery out; inv(0)=0).
+    pm2_ref: SMEM bits of p-2, MSB first."""
+    return pow_bits_ref(a, pm2_ref, nbits)
+
+
+def fq2_inv(a, pm2_ref, nbits: int):
+    """Fq2 inversion via the norm map (one Fq Fermat inversion)."""
+    a0, a1 = a[..., 0, :, :], a[..., 1, :, :]
+    sq = mul(jnp.stack([a0, a1]), jnp.stack([a0, a1]))
+    ninv = inv(add(sq[0], sq[1]), pm2_ref, nbits)
+    return jnp.stack([mul(a0, ninv), neg(mul(a1, ninv))], axis=-3)
+
+
+# ------------------------------------------------------------- tower (Fq2)
+# Fq2 element: (..., 2, L, B) — coefficient axis at -3.
+
+def fq2_mul(a, b):
+    """Karatsuba Fq2 multiply, one stacked Fq mul (3 lanes)."""
+    a0, a1 = a[..., 0, :, :], a[..., 1, :, :]
+    b0, b1 = b[..., 0, :, :], b[..., 1, :, :]
+    x = jnp.stack([a0, a1, add(a0, a1)])
+    y = jnp.stack([b0, b1, add(b0, b1)])
+    v = mul(x, y)
+    c0 = sub(v[0], v[1])
+    c1 = sub(v[2], add(v[0], v[1]))
+    return jnp.stack([c0, c1], axis=-3)
+
+
+def fq2_sqr(a):
+    return fq2_mul(a, a)
+
+
+def fq2_add(a, b):
+    return add(a, b)
+
+
+def fq2_sub(a, b):
+    return sub(a, b)
+
+
+def fq2_neg(a):
+    return neg(a)
+
+
+def fq2_double(a):
+    return add(a, a)
+
+
+def fq2_mul_xi(a):
+    """(9+u) * a = (9 a0 - a1) + (9 a1 + a0) u."""
+    a0, a1 = a[..., 0, :, :], a[..., 1, :, :]
+    return jnp.stack([sub(mul9(a0), a1), add(mul9(a1), a0)], axis=-3)
+
+
+def fq2_scale(a, s):
+    """Multiply both Fq2 coefficients by an Fq element s (..., L, B)."""
+    return mul(a, s[..., None, :, :])
+
+
+# --------------------------------------------------------- layout transforms
+
+def to_t(x):
+    """Standard layout (..., L) -> transposed (..., L, B=flat batch).
+
+    Flattens ALL leading axes into the lane axis.  Host-side helper for
+    tests and kernel I/O staging (runs in XLA, not Mosaic)."""
+    flat = x.reshape(-1, L)
+    return jnp.transpose(flat, (1, 0))
+
+
+def from_t(xt, batch_shape):
+    """Transposed (L, B) -> standard (*batch_shape, L)."""
+    return jnp.transpose(xt, (1, 0)).reshape(*batch_shape, L)

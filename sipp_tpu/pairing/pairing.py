@@ -21,6 +21,7 @@ Key design choices (TPU-first, not a translation):
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +44,22 @@ _TWF_Y = T.fq2_encode(hostref.TWIST_FROB_Y)
 
 # Miller-loop lane chunk: beyond this the scan state spills VMEM on v5e.
 MILLER_CHUNK = 1024
+# Fused-Pallas Miller chunk: the per-step kernel's VMEM working set caps the
+# lane count at 128 on v5e (256+ fails Mosaic compile; measured 2.8x faster
+# than the XLA scan at 128 lanes).
+MILLER_FUSED_CHUNK = 128
+
+
+def _fused_ok():
+    """Use the Mosaic kernels?  Default: on real TPU backends only (the CPU
+    interpret path is test-only and slow).  Env override SIPP_FUSED=0/1."""
+    env = os.environ.get("SIPP_FUSED")
+    if env is not None:
+        return env != "0"
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
 
 
 def _sparse12(a, b, c):
@@ -154,8 +171,13 @@ def miller_loop(p_aff, q_aff):
         return (f, t), None
 
     (f, t), _ = jax.lax.scan(body, (f0, t0), digits)
+    return _miller_tail(f, t, p_aff, q_aff)
 
-    # Frobenius correction lines: +pi(Q), then -pi^2(Q).
+
+def _miller_tail(f, t, p_aff, q_aff):
+    """Frobenius correction lines (+pi(Q), -pi^2(Q)) + infinity masking —
+    shared by the XLA and fused-Pallas Miller loops."""
+    xp, yp = p_aff[..., 0, :], p_aff[..., 1, :]
     q1 = _twist_frob(q_aff)
     q2 = _twist_frob(q1)
     nq2 = q2.at[..., 1, :, :].set(F.neg(q2[..., 1, :, :]))
@@ -168,7 +190,46 @@ def miller_loop(p_aff, q_aff):
     inf_p = jnp.all(p_aff == 0, axis=(-1, -2))
     inf_q = jnp.all(q_aff == 0, axis=(-1, -2, -3))
     inf = jnp.logical_or(inf_p, inf_q)[..., None, None, None, None]
-    return jnp.where(inf, f0, f)
+    return jnp.where(inf, T.fq12_ones(p_aff.shape[:-2]), f)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def miller_loop_fused(p_aff, q_aff, interpret: bool = False):
+    """Miller loop with the scan body fused into ONE Pallas kernel per step
+    (ops/pallas_miller.py) — removes the ~30-XLA-ops-per-step dispatch
+    overhead that dominates at small batch.  Bit-identical to miller_loop
+    (differentially tested); single leading batch axis only.
+
+    p_aff: (B, 2, L); q_aff: (B, 2, 2, L).
+    """
+    from ..ops import pallas_miller, tmul
+
+    assert p_aff.ndim == 3 and q_aff.ndim == 4
+    B = p_aff.shape[0]
+    q_neg = q_aff.at[..., 1, :, :].set(F.neg(q_aff[..., 1, :, :]))
+    t0 = jnp.concatenate(
+        [q_aff, jnp.broadcast_to(T.fq2_encode((1, 0)), q_aff[..., :1, :, :].shape)],
+        axis=-3,
+    )
+    # standard (B, ...) -> transposed (..., L, B)
+    pt = jnp.transpose(p_aff, (1, 2, 0))
+    qp = jnp.transpose(q_aff, (1, 2, 3, 0))
+    qn = jnp.transpose(q_neg, (1, 2, 3, 0))
+    tt0 = jnp.transpose(t0, (1, 2, 3, 0))
+    ft0 = jnp.transpose(T.fq12_ones((B,)), (1, 2, 3, 4, 0))
+    consts = jnp.asarray(tmul.CONSTS_NP)
+
+    def body(carry, digit):
+        return (
+            pallas_miller.miller_step(digit, consts, qp, qn, pt, carry,
+                                      interpret),
+            None,
+        )
+
+    (ft, tt), _ = jax.lax.scan(body, (ft0, tt0), jnp.asarray(_DIGITS))
+    f = jnp.transpose(ft, (4, 0, 1, 2, 3))
+    t = jnp.transpose(tt, (3, 0, 1, 2))
+    return _miller_tail(f, t, p_aff, q_aff)
 
 
 # Hard-part exponent (p^4 - p^2 + 1) / r.
@@ -308,8 +369,26 @@ def final_exp_host(f):
     if native.get_lib() is None:
         return final_exp(f)
     arr = native.fq12_dev_to_u64(jax.device_get(f))
-    out = native.fq12_final_exp(arr)
+    if arr.ndim == 3:        # small leading batch: loop the ~1 ms C kernel
+        out = np.stack([native.fq12_final_exp(x) for x in arr])
+    else:
+        out = native.fq12_final_exp(arr)
     return jnp.asarray(native.u64_to_fq12_dev(out))
+
+
+def final_exp_host_np(f_np):
+    """Host-only final exp: (..., 12, 4) uint64 Montgomery in, same format
+    out, plus the canonical tower-int decode of each element (for transcript
+    appends) — zero device ops.  Requires the native library."""
+    from .. import native
+
+    arr = np.asarray(f_np)
+    flat = arr.reshape(-1, 12, 4)
+    out = np.stack([native.fq12_final_exp(x) for x in flat])
+    ints = [native.fq12_u64_to_tower_ints(x) for x in out]
+    if arr.ndim == 2:        # unbatched
+        return out[0], ints[0]
+    return out.reshape(arr.shape), ints
 
 
 def pairing(p_aff, q_aff):
@@ -321,6 +400,52 @@ def pairing(p_aff, q_aff):
 def _miller_product(a_g1, b_g2):
     """Fused batched Miller loop + Fq12 product tree (single device program)."""
     return _product_tree(miller_loop(a_g1, b_g2))
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _inner_f(a_g1, b_g2, pad_to):
+    """Whole pre-final-exp inner product as ONE device program: padding,
+    chunking, Miller loops (fused-Pallas on TPU, XLA scan elsewhere), and the
+    Fq12 product tree.  Keeping every glue op inside the jit matters: each
+    eager device op is a dispatch round trip (~13 ms through the axon
+    tunnel; the n=128 aggregation dropped 46 ms -> ~20 ms when the two chunk
+    slices moved in here)."""
+    n = a_g1.shape[0]
+    if pad_to is not None and n < pad_to:
+        a_g1 = jnp.concatenate(
+            [a_g1, jnp.zeros((pad_to - n,) + a_g1.shape[1:], jnp.uint32)], 0)
+        b_g2 = jnp.concatenate(
+            [b_g2, jnp.zeros((pad_to - n,) + b_g2.shape[1:], jnp.uint32)], 0)
+        n = pad_to
+    fused = _fused_ok()
+    chunk = MILLER_FUSED_CHUNK if fused else MILLER_CHUNK
+    loop = miller_loop_fused if fused else miller_loop
+    if fused:
+        # pad to a chunk multiple with infinity lanes (f = 1) so every chunk
+        # hits the same compiled 128-lane kernel
+        pad = -n % chunk
+        if pad:
+            a_g1 = jnp.concatenate(
+                [a_g1, jnp.zeros((pad,) + a_g1.shape[1:], jnp.uint32)], 0)
+            b_g2 = jnp.concatenate(
+                [b_g2, jnp.zeros((pad,) + b_g2.shape[1:], jnp.uint32)], 0)
+            n += pad
+    if n <= chunk:
+        return _product_tree(loop(a_g1, b_g2))
+    c = n // chunk
+    rem = n - c * chunk
+    ar = a_g1[: c * chunk].reshape(c, chunk, *a_g1.shape[1:])
+    br = b_g2[: c * chunk].reshape(c, chunk, *b_g2.shape[1:])
+
+    def body(_, ab):
+        return None, _product_tree(loop(ab[0], ab[1]))
+
+    _, parts = jax.lax.scan(body, None, (ar, br))
+    if rem:
+        parts = jnp.concatenate(
+            [parts, _product_tree(loop(a_g1[c * chunk:], b_g2[c * chunk:]))[None]]
+        )
+    return _product_tree(parts)
 
 
 @jax.jit
@@ -352,25 +477,9 @@ def inner_product(a_g1, b_g2, pad_to: int = None):
     f = 1) so different fold rounds reuse one compiled kernel — exact, since
     the infinity lanes multiply 1 into the product tree.
     """
-    n = a_g1.shape[0]
-    if pad_to is not None and n < pad_to:
-        a_g1 = jnp.concatenate(
-            [a_g1, jnp.zeros((pad_to - n,) + a_g1.shape[1:], jnp.uint32)], 0)
-        b_g2 = jnp.concatenate(
-            [b_g2, jnp.zeros((pad_to - n,) + b_g2.shape[1:], jnp.uint32)], 0)
-    # Miller + product tree fused in one device program (reduces n elements
-    # to 1 before any transfer; avoids log2(n) separate dispatches); final
-    # exp on host (latency-bound).  Large batches are chunked: beyond ~1k
-    # lanes the Miller state spills VMEM and throughput drops ~2x (measured
-    # 4024 pair/s at n=1024 vs 2360 at n=4096 unchunked on v5e).
-    n = a_g1.shape[0]
-    if n > MILLER_CHUNK:
-        parts = [
-            _miller_product(a_g1[i : i + MILLER_CHUNK],
-                            b_g2[i : i + MILLER_CHUNK])
-            for i in range(0, n, MILLER_CHUNK)
-        ]
-        f = _product_tree(jnp.stack(parts))
-    else:
-        f = _miller_product(a_g1, b_g2)
-    return final_exp_host(f)
+    # Miller + padding + chunking + product tree in ONE device program
+    # (_inner_f; reduces n elements to 1 before any transfer, zero eager
+    # glue ops); final exp on host (latency-bound).  Chunking: fused-Pallas
+    # kernels cap at 128 lanes (VMEM); the XLA scan spills VMEM beyond ~1k
+    # lanes (measured 4024 pair/s at n=1024 vs 2360 at n=4096 unchunked).
+    return final_exp_host(_inner_f(a_g1, b_g2, pad_to))

@@ -13,3 +13,138 @@ def test_fq_mul_pallas_interpret(rng):
     got = fq_mul_pallas(a, b, interpret=True)
     want = FQ.mul(a, b)
     assert (np.asarray(got) == np.asarray(want)).all()
+
+
+# ---------------------------------------------------------------- tmul layer
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from sipp_tpu.fields import tower as T
+from sipp_tpu.ops import tmul
+
+
+def _run_t(fn, out_shape, *args):
+    """Run a tmul op inside an interpret-mode pallas_call (the constants are
+    kernel inputs, as on the production Mosaic path)."""
+
+    def kernel(c_ref, *refs):
+        o_ref = refs[-1]
+        with tmul.bound_consts(c_ref[:]):
+            o_ref[:] = fn(*(r[:] for r in refs[:-1]))
+
+    return pl.pallas_call(
+        kernel, out_shape=jax.ShapeDtypeStruct(out_shape, jnp.uint32),
+        interpret=True,
+    )(jnp.asarray(tmul.CONSTS_NP), *args)
+
+
+def test_tmul_field_ops_vs_xla(rng):
+    B = 16
+    xs = [int.from_bytes(rng.bytes(40), "little") % FQ.p for _ in range(B)]
+    ys = [int.from_bytes(rng.bytes(40), "little") % FQ.p for _ in range(B)]
+    xs[0], ys[0] = 0, 0          # edge lanes
+    xs[1], ys[1] = FQ.p - 1, FQ.p - 1
+    a, b = FQ.encode(xs), FQ.encode(ys)
+    at, bt = tmul.to_t(a), tmul.to_t(b)
+    for tfn, xfn in [(tmul.mul, FQ.mul), (tmul.add, FQ.add),
+                     (tmul.sub, FQ.sub), (tmul.mul9, None)]:
+        if tfn is tmul.mul9:
+            got = tmul.from_t(_run_t(tfn, (FQ.L, B), at), (B,))
+            want = FQ.mul(a, FQ.encode([9] * B))
+        else:
+            got = tmul.from_t(_run_t(tfn, (FQ.L, B), at, bt), (B,))
+            want = xfn(a, b)
+        assert (np.asarray(got) == np.asarray(want)).all()
+
+
+def test_tmul_fq2_ops_vs_tower(rng):
+    B = 8
+    xs = [int.from_bytes(rng.bytes(40), "little") % FQ.p for _ in range(4 * B)]
+    a2 = jnp.stack([FQ.encode(xs[:B]), FQ.encode(xs[B:2*B])], axis=1)
+    b2 = jnp.stack([FQ.encode(xs[2*B:3*B]), FQ.encode(xs[3*B:])], axis=1)
+    a2t, b2t = jnp.transpose(a2, (1, 2, 0)), jnp.transpose(b2, (1, 2, 0))
+    cases = [
+        (tmul.fq2_mul, T.fq2_mul, 2),
+        (tmul.fq2_mul_xi, T.fq2_mul_xi, 1),
+    ]
+    for tfn, xfn, nargs in cases:
+        args = (a2t, b2t)[:nargs]
+        got = _run_t(tfn, (2, FQ.L, B), *args)
+        want = xfn(*((a2, b2)[:nargs]))
+        assert (np.asarray(jnp.transpose(got, (2, 0, 1)))
+                == np.asarray(want)).all()
+
+
+def test_fexp_tower_ops_vs_tower(rng):
+    """Final-exp kernel building blocks (ops/pallas_fexp.py) vs the XLA
+    tower, bit-exact in interpret mode.  The FULL fused final-exp kernel is
+    covered by the same differential on real TPU (scratch/tpu_fexp_bench.py:
+    bit-exact vs final_exp); whole-kernel interpret execution of its ~18k
+    sequential Fq muls is too slow for the suite."""
+    from sipp_tpu.ops import pallas_fexp as PF
+    from sipp_tpu.pairing.pairing import _easy_part
+
+    B = 4
+    xs = [int.from_bytes(rng.bytes(40), "little") % FQ.p
+          for _ in range(24 * B)]
+    a = FQ.encode(xs[: 12 * B]).reshape(B, 2, 3, 2, FQ.L)
+    b = FQ.encode(xs[12 * B:]).reshape(B, 2, 3, 2, FQ.L)
+    at = jnp.transpose(a, (1, 2, 3, 4, 0))
+    bt = jnp.transpose(b, (1, 2, 3, 4, 0))
+    consts = jnp.asarray(tmul.CONSTS_NP)
+    frob = jnp.asarray(PF.FROB_NP)
+    pm2 = jnp.asarray(PF._PM2_BITS)
+    S = (2, 3, 2, FQ.L, B)
+
+    def run(kfn, *args):
+        return pl.pallas_call(
+            kfn, out_shape=jax.ShapeDtypeStruct(S, jnp.uint32),
+            interpret=True,
+        )(*args)
+
+    def back(x):
+        return jnp.transpose(x, (4, 0, 1, 2, 3))
+
+    def k_mul(c, f, g, o):
+        with tmul.bound_consts(c[:]):
+            o[:] = PF.fq12_mul(f[:], g[:])
+
+    def k_inv(c, p2, f, o):
+        with tmul.bound_consts(c[:]):
+            o[:] = PF.fq12_inv(f[:], p2)
+
+    def k_cyclo(c, f, o):
+        with tmul.bound_consts(c[:]):
+            o[:] = PF.fq12_cyclo_sqr(f[:])
+
+    got = back(run(k_mul, consts, at, bt))
+    assert (np.asarray(got) == np.asarray(T.fq12_mul(a, b))).all()
+
+    got = back(run(k_inv, consts, pm2, at))
+    assert (np.asarray(got) == np.asarray(T.fq12_inv(a))).all()
+
+    for k in (1, 2, 3):
+        def k_frob(c, fr, f, o, k=k):
+            with tmul.bound_consts(c[:]):
+                o[:] = PF.fq12_frob(f[:], fr[:], k)
+        got = back(run(k_frob, consts, frob, at))
+        assert (np.asarray(got) == np.asarray(T.fq12_frob(a, k))).all()
+
+    g = _easy_part(a)   # cyclotomic-subgroup input for the GS squaring
+    gt = jnp.transpose(g, (1, 2, 3, 4, 0))
+    got = back(run(k_cyclo, consts, gt))
+    assert (np.asarray(got) == np.asarray(T.fq12_cyclo_sqr(g))).all()
+
+
+def test_miller_loop_fused_interpret():
+    """Whole fused-Pallas Miller loop == XLA Miller loop, bit-exact (covers
+    fq12 sqr/mul_line, dbl/add steps, and the digit conditional)."""
+    from sipp_tpu.pairing.pairing import miller_loop, miller_loop_fused
+    from sipp_tpu.utils.testing import random_instance
+
+    A, B = random_instance(2, seed=3)
+    ref = miller_loop(A, B)
+    out = miller_loop_fused(A, B, True)
+    assert (np.asarray(out) == np.asarray(ref)).all()
