@@ -117,9 +117,11 @@ def g2_decode(arr):
             for r in res.reshape(shape).tolist()]
 
 
-def scalar_to_bits(k: int, width: int = 254) -> jnp.ndarray:
-    """Scalar -> MSB-first uint32 bit array of fixed width (for scalar_mul)."""
+def scalar_to_bits(k: int, width: int = 254) -> np.ndarray:
+    """Scalar -> MSB-first uint32 bit array of fixed width (for scalar_mul).
+    Returns a HOST array: jit call sites transfer it as part of the dispatch
+    instead of paying a separate eager device_put round trip."""
     assert 0 <= k < (1 << width)
-    return jnp.asarray(
-        np.array([(k >> (width - 1 - i)) & 1 for i in range(width)], dtype=np.uint32)
+    return np.array(
+        [(k >> (width - 1 - i)) & 1 for i in range(width)], dtype=np.uint32
     )

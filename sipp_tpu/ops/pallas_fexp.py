@@ -108,7 +108,9 @@ def fq12_frob(a, frob, k: int):
             [a[..., 0:1, :, :], t.neg(a[..., 1:2, :, :])], axis=-3
         )
     c = a.reshape(*a.shape[:-5], 6, 2, L, a.shape[-1])
-    out = t.fq2_mul(c, frob[k - 1][..., None])
+    # explicit broadcast: leading stack axes (the B>1 fexp batch) otherwise
+    # misalign against the (6, 2, L, 1) constant table
+    out = t.fq2_mul(c, jnp.broadcast_to(frob[k - 1][..., None], c.shape))
     return out.reshape(a.shape)
 
 
@@ -184,11 +186,18 @@ def _fexp_kernel(c_ref, frob_ref, pm2_ref, x_ref, tape_ref, f_ref,
 @functools.partial(jax.jit, static_argnums=(1,))
 def final_exp_fused(f, interpret: bool = False):
     """f^((p^12-1)/r) as ONE Pallas kernel.  f: (B, 2, 3, 2, L) standard
-    layout, B small (the post-product-tree tail; VMEM register file is
-    12 Fq12 slots x B lanes).  Bit-identical to pairing.final_exp."""
+    layout, B small (the post-product-tree tail).  Bit-identical to
+    pairing.final_exp.
+
+    Batch layout: B rides the OUTERMOST stack axis with a unit lane axis —
+    (B, 2, 3, 2, L, 1) — NOT the lane axis.  The exponentiation chain is
+    branch-free and identical for every element, and tmul.mul's stacked-
+    lead flatten then merges (B*S, L, 1) -> (L, B*S): B final exps cost one
+    kernel at B-fold lane utilization (the (L, B, S) lane merge a lane-axis
+    batch would need is an unsupported Mosaic shape cast)."""
     assert f.ndim == 5 and f.shape[0] <= 16, "fexp kernel is a small-B tail"
     B = f.shape[0]
-    ft = jnp.transpose(f, (1, 2, 3, 4, 0))
+    ft = f[..., None]                     # (B, 2, 3, 2, L, 1)
     out = pl.pallas_call(
         _fexp_kernel,
         in_specs=[
@@ -200,8 +209,8 @@ def final_exp_fused(f, interpret: bool = False):
             pl.BlockSpec(memory_space=pltpu.VMEM),   # f
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2, 3, 2, L, B), jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((12, 2, 3, 2, L, B), jnp.uint32)],
+        out_shape=jax.ShapeDtypeStruct((B, 2, 3, 2, L, 1), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((12, B, 2, 3, 2, L, 1), jnp.uint32)],
         interpret=interpret,
     )(
         jnp.asarray(t.CONSTS_NP),
@@ -211,4 +220,4 @@ def final_exp_fused(f, interpret: bool = False):
         jnp.asarray(_tape()),
         ft,
     )
-    return jnp.transpose(out, (4, 0, 1, 2, 3))
+    return out[..., 0]

@@ -28,10 +28,21 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..fields import FQ
+from .. import hostref
+from ..fields import FQ, tower
 from . import tmul as t
 
 L = FQ.L
+
+# Twist Frobenius constants (2 Fq2 elements, Montgomery limbs) — same values
+# as pairing._TWF_X/_TWF_Y.
+# ensure_compile_time_eval: this module is imported lazily, sometimes from
+# inside a jit trace — the encodes must stay concrete, not become tracers.
+with jax.ensure_compile_time_eval():
+    TWF_NP = np.stack([
+        np.asarray(jax.device_get(tower.fq2_encode(hostref.TWIST_FROB_X))),
+        np.asarray(jax.device_get(tower.fq2_encode(hostref.TWIST_FROB_Y))),
+    ])
 
 
 # ------------------------------------------------------------- Fq6 / Fq12
@@ -153,6 +164,153 @@ def add_step(tj, q, xp, yp):
     a = t.fq2_scale(Z3, yp)
     b = t.neg(t.fq2_scale(R, xp))
     return t3, (a, b, c)
+
+
+# ---------------------------------------------------- fq12 generic + frob
+
+def fq12_mul(a, b):
+    """Karatsuba Fq12 multiply (mirror of tower.fq12_mul)."""
+    a0, a1 = a[..., 0, :, :, :, :], a[..., 1, :, :, :, :]
+    b0, b1 = b[..., 0, :, :, :, :], b[..., 1, :, :, :, :]
+    x = jnp.stack([a0, a1, t.add(a0, a1)])
+    y = jnp.stack([b0, b1, t.add(b0, b1)])
+    v = fq6_mul(x, y)
+    c0 = t.add(v[0], fq6_mul_by_v(v[1]))
+    c1 = t.sub(v[2], t.add(v[0], v[1]))
+    return jnp.stack([c0, c1], axis=-5)
+
+
+def fq2_conj(a):
+    return jnp.stack([a[..., 0, :, :], t.neg(a[..., 1, :, :])], axis=-3)
+
+
+def twist_frob(q, twf):
+    """G2 twist-coordinate Frobenius: (conj(x)*cx, conj(y)*cy); q: (2,2,L,B),
+    twf: (2,2,L) constants (mirror of pairing._twist_frob)."""
+    x, y = q[..., 0, :, :, :], q[..., 1, :, :, :]
+    return jnp.stack(
+        [t.fq2_mul(fq2_conj(x), twf[0][..., None]),
+         t.fq2_mul(fq2_conj(y), twf[1][..., None])],
+        axis=-4,
+    )
+
+
+# ------------------------------------------- whole-loop + product kernel
+
+def _full_kernel(c_ref, twf_ref, dig_ref, p_ref, q_ref, o_ref, f_ref, t_ref):
+    """ENTIRE Miller loop (digit tape in SMEM), Frobenius correction lines,
+    infinity masking, and the cross-lane Fq12 product — one pallas_call.
+    Output: every lane of o_ref holds prod_i f_i (hypercube reduction)."""
+    with t.bound_consts(c_ref[:]):
+        B = p_ref.shape[-1]
+        xp, yp = p_ref[0], p_ref[1]
+        q_aff = q_ref[:]
+        q_neg = jnp.stack(
+            [q_aff[..., 0, :, :, :], t.neg(q_aff[..., 1, :, :, :])], axis=-4)
+        one = jnp.broadcast_to(_c_one(), (L, B))
+        zero = jnp.zeros((L, B), jnp.uint32)
+        one2 = jnp.stack([one, zero])                      # Fq2 one
+        # f0 = 1 in Fq12: coefficient (0,0) = one, rest 0
+        f_ref[:] = jnp.stack(
+            [jnp.stack([one2, jnp.stack([zero, zero]), jnp.stack([zero, zero])]),
+             jnp.zeros((3, 2, L, B), jnp.uint32)])
+        t_ref[:] = jnp.concatenate([q_aff, one2[None]], axis=0)
+
+        def body(i, carry):
+            f = fq12_sqr(f_ref[:])
+            t2, line = dbl_step(t_ref[:], xp, yp)
+            f_ref[:] = fq12_mul_line(f, *line)
+            t_ref[:] = t2
+
+            @pl.when(dig_ref[i] != 0)
+            def _():
+                qs = jnp.where(dig_ref[i] == 1, q_aff, q_neg)
+                t3, line2 = add_step(t_ref[:], qs, xp, yp)
+                f_ref[:] = fq12_mul_line(f_ref[:], *line2)
+                t_ref[:] = t3
+
+            return carry
+
+        jax.lax.fori_loop(0, dig_ref.shape[0], body, 0)
+
+        # Frobenius correction lines: +pi(Q), then -pi^2(Q)
+        twf = twf_ref[:]
+        q1 = twist_frob(q_aff, twf)
+        q2 = twist_frob(q1, twf)
+        nq2 = jnp.stack(
+            [q2[..., 0, :, :, :], t.neg(q2[..., 1, :, :, :])], axis=-4)
+        t3, line = add_step(t_ref[:], q1, xp, yp)
+        f = fq12_mul_line(f_ref[:], *line)
+        _, line = add_step(t3, nq2, xp, yp)
+        f = fq12_mul_line(f, *line)
+
+        # infinity lanes (e(O, Q) = e(P, O) = 1) contribute 1 to the product
+        inf_p = jnp.all(p_ref[:] == 0, axis=(0, 1))        # (B,)
+        inf_q = jnp.all(q_aff == 0, axis=(0, 1, 2))
+        f_one = jnp.stack(
+            [jnp.stack([one2, jnp.stack([zero, zero]), jnp.stack([zero, zero])]),
+             jnp.zeros((3, 2, L, B), jnp.uint32)])
+        f = jnp.where(jnp.logical_or(inf_p, inf_q), f_one, f)
+
+        # cross-lane product: hypercube reduction by lane rotations — after
+        # log2(B) rounds EVERY lane holds the full product (no lane slicing,
+        # which Mosaic mislays; rolls are native)
+        s = B // 2
+        while s >= 1:
+            f = fq12_mul(f, pltpu.roll(f, s, axis=f.ndim - 1))
+            s //= 2
+        o_ref[:] = f
+
+
+def _c_one():
+    """(L, 1) Montgomery one column from the packed constant table."""
+    return t._c(4)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def miller_product_fused(p_aff, q_aff, interpret: bool = False):
+    """prod_i miller(P_i, Q_i) over the batch: the whole loop, tail, and
+    product tree as ONE kernel launch.  p_aff: (B, 2, L); q_aff:
+    (B, 2, 2, L); B a power of two <= 128 (VMEM).  Returns (2, 3, 2, L).
+    Bit-identical to _product_tree(miller_loop(...)) — differentially
+    tested (the product order of the lane hypercube equals the halving
+    tree's: both multiply index i with i + B/2^k at level k)."""
+    from ..pairing.pairing import _DIGITS
+
+    B = p_aff.shape[0]
+    assert B & (B - 1) == 0 and B <= 128
+    pt = jnp.transpose(p_aff, (1, 2, 0))
+    qt = jnp.transpose(q_aff, (1, 2, 3, 0))
+    out = pl.pallas_call(
+        _full_kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # consts
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # twist-frob consts
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # NAF digit tape
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # P
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # Q
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, 3, 2, L, B), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, 2, L, B), jnp.uint32),   # f
+            pltpu.VMEM((3, 2, L, B), jnp.uint32),      # t
+        ],
+        # the fq12 temporaries of the loop body peak at ~21 MB of scoped
+        # VMEM at B=128 — above the 16 MB default limit, well under the
+        # 128 MB v5e VMEM (measured via local AOT compile, scratch/aot_diag)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        jnp.asarray(t.CONSTS_NP),
+        jnp.asarray(TWF_NP),
+        jnp.asarray(_DIGITS),
+        pt,
+        qt,
+    )
+    # drop the lane axis: (2, 3, 2, L, B) lane 0 -> standard (2, 3, 2, L)
+    return out[..., 0]
 
 
 # ------------------------------------------------------------- fused kernel

@@ -152,7 +152,29 @@ def mul(a, b):
 
     Bit-identical to fields/fp.py Fp._mul_impl: T = a*b; m = T*N' mod R;
     U = T + m*p; result = U >> 16L with fused conditional subtract.
+
+    Latency-bound single-lane calls (B == 1) with a stacked leading axis
+    flatten the stack into the LANE axis around the multiply: a (S, L, 1)
+    operand occupies 1/128 of every vreg, so the S independent muls of a
+    tower op would otherwise serialize at 1-lane utilization.  Measured on
+    v5e: 67 -> 28 us per B=1 Fq12 multiply (the final-exp tail regime).
+    B == 1 only: the (L, B, S) -> (L, B*S) lane merge is a Mosaic
+    "unsupported shape cast" for B > 1 (non-unit minor dims).
     """
+    if a.shape != b.shape:
+        a, b = jnp.broadcast_arrays(a, b)
+    lead = a.shape[:-2]
+    B = a.shape[-1]
+    S = int(np.prod(lead)) if lead else 1
+    if S > 1 and B == 1:
+        ar = jnp.transpose(a.reshape(S, L), (1, 0))
+        br = jnp.transpose(b.reshape(S, L), (1, 0))
+        r = _mul_impl(ar, br)
+        return jnp.transpose(r, (1, 0)).reshape(a.shape)
+    return _mul_impl(a, b)
+
+
+def _mul_impl(a, b):
     t_cols = _prod_full(a, _widen(b))
     t_limbs, _ = norm(t_cols, 2 * L)
     m_cols = _prod_low(t_limbs[..., :L, :], _c(1))

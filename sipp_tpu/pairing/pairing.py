@@ -391,6 +391,30 @@ def final_exp_host_np(f_np):
     return out.reshape(arr.shape), ints
 
 
+@jax.jit
+def _round_zs_fused(a_lo, a_hi, b_lo, b_g2_hi):
+    """One fold round's (Z_L, Z_R) = (e-prod(A_hi, B_lo), e-prod(A_lo, B_hi))
+    INCLUDING final exps, one device program: two whole-loop Miller kernels
+    plus ONE B=2 stacked final-exp kernel (both tails for the price of one —
+    see pallas_fexp.final_exp_fused batch layout)."""
+    from ..ops import pallas_fexp
+
+    fl = _inner_f(a_hi, b_lo, None)
+    fr = _inner_f(a_lo, b_g2_hi, None)
+    return pallas_fexp.final_exp_fused(jnp.stack([fl, fr]))
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _inner_z_fused(a_g1, b_g2, pad_to):
+    """Whole inner product INCLUDING the final exponentiation as one device
+    program (fused-Pallas Miller chunks + product tree + the single-kernel
+    final exp of ops/pallas_fexp.py).  Zero host traffic: back-to-back calls
+    pipeline instead of serializing on a host round trip per aggregation."""
+    from ..ops import pallas_fexp
+
+    return pallas_fexp.final_exp_fused(_inner_f(a_g1, b_g2, pad_to)[None])[0]
+
+
 def pairing(p_aff, q_aff):
     """Batched optimal ate pairing e(P, Q); matches hostref.pairing bit-exactly."""
     return final_exp(miller_loop(p_aff, q_aff))
@@ -419,8 +443,20 @@ def _inner_f(a_g1, b_g2, pad_to):
         n = pad_to
     fused = _fused_ok()
     chunk = MILLER_FUSED_CHUNK if fused else MILLER_CHUNK
-    loop = miller_loop_fused if fused else miller_loop
     if fused:
+        from ..ops import pallas_miller
+
+        if os.environ.get("SIPP_WHOLE_LOOP") == "0":
+            # fallback: per-step fused kernel under a lax.scan + XLA tree
+            def prod(x, y):
+                return _product_tree(miller_loop_fused(x, y))
+        else:
+            # whole loop + Frobenius tail + lane product tree in ONE kernel
+            # (validated bit-exact on v5e; 9.87 ms vs 11.53 ms per 128-lane
+            # chunk for the per-step variant)
+            def prod(x, y):
+                return pallas_miller.miller_product_fused(x, y)
+
         # pad to a chunk multiple with infinity lanes (f = 1) so every chunk
         # hits the same compiled 128-lane kernel
         pad = -n % chunk
@@ -430,21 +466,23 @@ def _inner_f(a_g1, b_g2, pad_to):
             b_g2 = jnp.concatenate(
                 [b_g2, jnp.zeros((pad,) + b_g2.shape[1:], jnp.uint32)], 0)
             n += pad
+    else:
+        def prod(x, y):
+            return _product_tree(miller_loop(x, y))
+
     if n <= chunk:
-        return _product_tree(loop(a_g1, b_g2))
+        return prod(a_g1, b_g2)
     c = n // chunk
     rem = n - c * chunk
     ar = a_g1[: c * chunk].reshape(c, chunk, *a_g1.shape[1:])
     br = b_g2[: c * chunk].reshape(c, chunk, *b_g2.shape[1:])
 
     def body(_, ab):
-        return None, _product_tree(loop(ab[0], ab[1]))
+        return None, prod(ab[0], ab[1])
 
     _, parts = jax.lax.scan(body, None, (ar, br))
     if rem:
-        parts = jnp.concatenate(
-            [parts, _product_tree(loop(a_g1[c * chunk:], b_g2[c * chunk:]))[None]]
-        )
+        parts = jnp.concatenate([parts, prod(a_g1[c * chunk:], b_g2[c * chunk:])[None]])
     return _product_tree(parts)
 
 
@@ -477,9 +515,12 @@ def inner_product(a_g1, b_g2, pad_to: int = None):
     f = 1) so different fold rounds reuse one compiled kernel — exact, since
     the infinity lanes multiply 1 into the product tree.
     """
-    # Miller + padding + chunking + product tree in ONE device program
-    # (_inner_f; reduces n elements to 1 before any transfer, zero eager
-    # glue ops); final exp on host (latency-bound).  Chunking: fused-Pallas
-    # kernels cap at 128 lanes (VMEM); the XLA scan spills VMEM beyond ~1k
-    # lanes (measured 4024 pair/s at n=1024 vs 2360 at n=4096 unchunked).
+    # Miller + padding + chunking + product tree + final exp in ONE device
+    # program on TPU (zero host traffic; calls pipeline); on other backends
+    # the final exp runs on the host C++ kernel (latency-bound tail).
+    # Chunking: fused-Pallas kernels cap at 128 lanes (VMEM); the XLA scan
+    # spills VMEM beyond ~1k lanes (measured 4024 pair/s at n=1024 vs 2360
+    # at n=4096 unchunked).
+    if _fused_ok():
+        return _inner_z_fused(a_g1, b_g2, pad_to)
     return final_exp_host(_inner_f(a_g1, b_g2, pad_to))

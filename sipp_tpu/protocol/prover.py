@@ -7,22 +7,36 @@ final exponentiation (pairing/pairing.py); the G1/G2 folds A' = A_lo + x*A_hi,
 B' = B_lo + x^-1*B_hi are batched shared-scalar ladder kernels (curves/).
 Only the hash chain (the serial spine, SURVEY.md §3.5) runs on host.
 
+Fixed-width dynamic-m rounds (the compile-count design): arrays keep a fixed
+lane width W = min-clamped at 2*PAD_FLOOR; the live half-count m enters the
+jitted programs as a DYNAMIC scalar.  Halving is a dynamic lane roll + an
+iota<m infinity mask instead of a shape-halving slice, so every small round
+hits the SAME compiled programs: one `_halves` mask program per point type,
+one fold program, and the width-W inner-product program — which is the same
+program that computes the initial Z and the verifier's final check.  (Shape-
+specialized per-round programs cost a full XLA compile per round; masked
+lanes are points at infinity, which contribute exactly 1 to pairing products
+and fold as O + x*O = O, so the result is bit-identical.)
+
 Fold orientation (SURVEY.md §2.4 item 7): with (lo, hi) = split_at(n/2):
 Z_L = <A_hi, B_lo>, Z_R = <A_lo, B_hi>; proof = [Z, Z_L1, Z_R1, ...] REVERSED
 so the verifier pops from the back (§2.4 item 6).
 """
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
-from .. import curves, params
+from .. import curves, native, params
 from ..curves import G1, G2, scalar_to_bits
 from ..fields import tower
-from ..pairing import inner_product
+from ..pairing.pairing import (_fused_ok, _inner_f, _inner_z_fused,
+                               _round_zs_fused, final_exp, final_exp_host_np)
 from .transcript import Transcript
 
-# Small fold rounds are padded up to this lane count so they share ONE
-# compiled kernel instead of recompiling at every halved size (exact:
-# infinity lanes contribute 1 to products; padded fold lanes are sliced off).
+# Small fold rounds keep this many live+masked lanes (width 2*PAD_FLOOR) so
+# they all share ONE compiled kernel instead of recompiling at every halved
+# size (exact: infinity lanes contribute 1 to products and fold to infinity).
 PAD_FLOOR = 64
 
 
@@ -38,6 +52,50 @@ def pad_lanes(arr, target: int):
         [arr, jnp.zeros((target - n,) + arr.shape[1:], jnp.uint32)], 0)
 
 
+@jax.jit
+def _halves(v, m):
+    """(lo, hi) of a width-W point vector whose first 2*m lanes are live:
+    lane i of hi is v[m+i] (dynamic roll), lanes >= m masked to the point at
+    infinity (all-zero affine encoding).  m is a traced scalar, so one
+    compiled program serves every fold round at this width."""
+    W = v.shape[0]
+    live = (jnp.arange(W) < m).reshape((W,) + (1,) * (v.ndim - 1))
+    lo = jnp.where(live, v, 0)
+    hi = jnp.where(live, jnp.roll(v, -m, axis=0), 0)
+    return lo, hi
+
+
+@jax.jit
+def _fold_halves(a_lo, a_hi, b_lo, b_hi, xbits, xinvbits):
+    """A' = A_lo + x*A_hi, B' = B_lo + x^-1*B_hi, affine, full width (dead
+    lanes fold O + x*O = O and decode back to all-zero affine)."""
+    a2 = G1.to_affine(G1.fold(a_lo, a_hi, xbits))
+    b2 = G2.to_affine(G2.fold(b_lo, b_hi, xinvbits))
+    return a2, b2
+
+
+def _finalize_host(f_dev):
+    """(B?, 2,3,2,L) pre-FE Miller product(s) -> (device-format np arrays,
+    tower-int tuples) via the host C++ final exp (one transfer in)."""
+    f_np = native.fq12_dev_to_u64(jax.device_get(f_dev))
+    z_np, ints = final_exp_host_np(f_np)
+    return native.u64_to_fq12_dev(z_np), ints
+
+
+def _finalize_dev(f_dev):
+    """Fallback (no native lib): device XLA final exp + one decode."""
+    batched = f_dev.ndim == 5
+    z = final_exp(f_dev)
+    ints = tower.fq12_decode(z if batched else z[None])
+    return np.asarray(jax.device_get(z)), ints if batched else ints[0]
+
+
+def _decode_z(z_dev):
+    """Device-format final z -> (np array, tower ints), one transfer."""
+    z_np = np.asarray(jax.device_get(z_dev))
+    return z_np, native.fq12_u64_to_tower_ints(native.fq12_dev_to_u64(z_np))
+
+
 def sipp_prove(a_g1, b_g2, return_transcript=False):
     """a_g1: (n, 2, L) G1 affine; b_g2: (n, 2, 2, L) G2 twist affine; n a
     power of two.  Returns proof: (2*log2(n)+1, 2, 3, 2, L) Fq12 array in
@@ -45,41 +103,59 @@ def sipp_prove(a_g1, b_g2, return_transcript=False):
     n = a_g1.shape[0]
     assert n == b_g2.shape[0] and n & (n - 1) == 0 and n >= 1
 
+    fused = _fused_ok()
+    finalize = _finalize_host if native.get_lib() is not None else _finalize_dev
+
     a_host = curves.g1_decode(a_g1)
     b_host = curves.g2_decode(b_g2)
     tr = Transcript()
     tr.append_points(a_host, b_host)
 
-    z = inner_product(a_g1, b_g2)
-    proof = [z]
-    tr.append_fq12(tower.fq12_decode(z[None])[0])
+    if fused:
+        z_np, z_ints = _decode_z(_inner_z_fused(a_g1, b_g2, None))
+    else:
+        z_np, z_ints = finalize(_inner_f(a_g1, b_g2, None))
+    proof = [z_np]
+    tr.append_fq12(z_ints)
 
     a, b = a_g1, b_g2
-    flo = _floor(n)
+    w_min = 2 * _floor(n)  # min(128, n): the shared-program width
     while n > 1:
         m = n // 2
-        tgt = max(m, flo)
-        a_lo, a_hi = a[:m], a[m:]
-        b_lo, b_hi = b[:m], b[m:]
-        z_l = inner_product(a_hi, b_lo, pad_to=tgt)
-        z_r = inner_product(a_lo, b_hi, pad_to=tgt)
-        proof.append(z_l)
-        tr.append_fq12(tower.fq12_decode(z_l[None])[0])
-        proof.append(z_r)
-        tr.append_fq12(tower.fq12_decode(z_r[None])[0])
+        # shrink the working width once the live half fits the floor width
+        # (one cheap slice dispatch per halving above the floor)
+        if a.shape[0] > max(n, w_min):
+            a, b = a[: max(n, w_min)], b[: max(n, w_min)]
+        a_lo, a_hi = _halves(a, m)
+        b_lo, b_hi = _halves(b, m)
+        if fused:
+            # one program: both Miller products + one B=2 stacked final exp,
+            # one device->host transfer for both
+            zs_np = np.asarray(jax.device_get(
+                _round_zs_fused(a_lo, a_hi, b_lo, b_hi)))
+            zl_np, zl_ints = zs_np[0], native.fq12_u64_to_tower_ints(
+                native.fq12_dev_to_u64(zs_np[0]))
+            zr_np, zr_ints = zs_np[1], native.fq12_u64_to_tower_ints(
+                native.fq12_dev_to_u64(zs_np[1]))
+        else:
+            fl = _inner_f(a_hi, b_lo, None)
+            fr = _inner_f(a_lo, b_hi, None)
+            zs_np, zs_ints = finalize(jnp.stack([fl, fr]))
+            zl_np, zr_np = zs_np[0], zs_np[1]
+            zl_ints, zr_ints = zs_ints[0], zs_ints[1]
+        proof.append(zl_np)
+        tr.append_fq12(zl_ints)
+        proof.append(zr_np)
+        tr.append_fq12(zr_ints)
 
         x = tr.get_challenge()
         x_inv = pow(x, -1, params.R)
-        a = G1.to_affine(
-            G1.fold(pad_lanes(a_lo, tgt), pad_lanes(a_hi, tgt),
-                    scalar_to_bits(x)))[:m]
-        b = G2.to_affine(
-            G2.fold(pad_lanes(b_lo, tgt), pad_lanes(b_hi, tgt),
-                    scalar_to_bits(x_inv)))[:m]
+        a, b = _fold_halves(a_lo, a_hi, b_lo, b_hi,
+                            scalar_to_bits(x), scalar_to_bits(x_inv))
         n = m
 
     proof.reverse()  # verifier reads back-to-front (prover_native.rs:78)
-    out = jnp.stack(proof)
+    out = jnp.asarray(np.stack(proof))
     if return_transcript:
         return out, tr
     return out

@@ -7,11 +7,19 @@ and updates Z' = Z_L^x * Z * Z_R^(x^-1), then checks e(final_A, final_B) ==
 final_Z with a single pairing.  The G1/G2 exps and Fq12 exps that the
 reference outsources to starky STARK statements (SURVEY.md D7/D8) are here
 computed directly by the batched fold/exp kernels.
+
+Dispatch discipline (see prover.py): the whole proof (2*log2(n)+1 Fq12, a few
+KB) is transferred to the host ONCE and decoded in pure Python; the per-round
+Z' power chain runs on the host C++ kernel (single-element exps are
+latency-bound on device); per round the device does exactly ONE fused fold
+program.  The final pairing is one more device program + one transfer.
 """
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
-from .. import curves, params
+from .. import curves, native, params
 from ..curves import G1, G2, scalar_to_bits
 from ..fields import tower
 
@@ -36,65 +44,76 @@ def sipp_verify(a_g1, b_g2, proof) -> SIPPStatement:
     tr = Transcript()
     tr.append_points(a_host, b_host)
 
-    idx = proof.shape[0] - 1
-    z = proof[idx]; idx -= 1              # "pop from the back"
-    original_z = z
-    tr.append_fq12(tower.fq12_decode(z[None])[0])
+    # one transfer: whole proof to host, u64 Montgomery + canonical ints
+    proof_u = native.fq12_dev_to_u64(jax.device_get(proof))
+    proof_ints = [native.fq12_u64_to_tower_ints(x) for x in proof_u]
+    use_native = native.get_lib() is not None
 
-    from .prover import _floor, pad_lanes
+    idx = proof.shape[0] - 1
+    z_u, z_ints = proof_u[idx], proof_ints[idx]
+    original_z_ints = z_ints
+    idx -= 1
+    tr.append_fq12(z_ints)
+    if not use_native:
+        z_dev = proof[len(proof) - 1]
+
+    from .prover import _floor, _fold_halves, _halves
 
     a, b = a_g1, b_g2
-    flo = _floor(n)
+    w_min = 2 * _floor(n)
     while n > 1:
         m = n // 2
-        tgt = max(m, flo)
-        z_l = proof[idx]; idx -= 1
-        tr.append_fq12(tower.fq12_decode(z_l[None])[0])
-        z_r = proof[idx]; idx -= 1
-        tr.append_fq12(tower.fq12_decode(z_r[None])[0])
+        if a.shape[0] > max(n, w_min):
+            a, b = a[: max(n, w_min)], b[: max(n, w_min)]
+        tr.append_fq12(proof_ints[idx])
+        tr.append_fq12(proof_ints[idx - 1])
 
         x = tr.get_challenge()
         x_inv = pow(x, -1, params.R)
-        xb, xib = scalar_to_bits(x), scalar_to_bits(x_inv)
-        a = G1.to_affine(
-            G1.fold(pad_lanes(a[:m], tgt), pad_lanes(a[m:], tgt), xb))[:m]
-        b = G2.to_affine(
-            G2.fold(pad_lanes(b[:m], tgt), pad_lanes(b[m:], tgt), xib))[:m]
         # Z' = Z_L^x * Z * Z_R^(x^-1) — single-element exponentiations are
         # latency-bound, so they run on the host C++ kernel when available
         # (bit-identical; see pairing.final_exp_host rationale).
-        from .. import native
-
-        if native.get_lib() is not None:
-            import jax
-
-            zl_u = native.fq12_dev_to_u64(jax.device_get(z_l))
-            zr_u = native.fq12_dev_to_u64(jax.device_get(z_r))
-            z_u = native.fq12_dev_to_u64(jax.device_get(z))
-            t = native.fq12_mul(native.fq12_pow(zl_u, x), z_u)
-            z_u = native.fq12_mul(t, native.fq12_pow(zr_u, x_inv))
-            z = jnp.asarray(native.u64_to_fq12_dev(z_u))
+        if use_native:
+            t = native.fq12_mul(native.fq12_pow(proof_u[idx], x), z_u)
+            z_u = native.fq12_mul(t, native.fq12_pow(proof_u[idx - 1], x_inv))
         else:
-            zl_x = tower.fq12_pow_bits(z_l, xb)
-            zr_xi = tower.fq12_pow_bits(z_r, xib)
-            z = tower.fq12_mul(zl_x, tower.fq12_mul(z, zr_xi))
+            zl_x = tower.fq12_pow_bits(proof[idx], scalar_to_bits(x))
+            zr_xi = tower.fq12_pow_bits(proof[idx - 1], scalar_to_bits(x_inv))
+            z_dev = tower.fq12_mul(zl_x, tower.fq12_mul(z_dev, zr_xi))
+        idx -= 2
+        a_lo, a_hi = _halves(a, m)
+        b_lo, b_hi = _halves(b, m)
+        a, b = _fold_halves(a_lo, a_hi, b_lo, b_hi,
+                            scalar_to_bits(x), scalar_to_bits(x_inv))
         n = m
 
+    if use_native:
+        final_z_ints = native.fq12_u64_to_tower_ints(z_u)
+    else:
+        final_z_ints = tower.fq12_decode(z_dev[None])[0]
     final_a = curves.g1_decode(a)[0]
     final_b = curves.g2_decode(b)[0]
-    final_z = tower.fq12_decode(z[None])[0]
     stmt = SIPPStatement(
         A=a_host, B=b_host,
-        Z=tower.fq12_decode(original_z[None])[0],
-        final_A=final_a, final_B=final_b, final_Z=final_z,
+        Z=original_z_ints,
+        final_A=final_a, final_B=final_b, final_Z=final_z_ints,
     )
 
-    # final check e(final_A, final_B) == final_Z; the Miller loop is padded
-    # to the shared fold-kernel width and only lane 0 is used.
-    from ..pairing import final_exp, miller_loop
+    # final check e(final_A, final_B) == final_Z: a,b kept at the shared
+    # program width with infinity in the dead lanes (contribute 1), so this
+    # reuses the SAME compiled inner-product program as the prover's rounds;
+    # the comparison happens on host ints.
+    from ..pairing.pairing import (_fused_ok, _inner_f, _inner_z_fused,
+                                   final_exp, final_exp_host_np)
 
-    f = miller_loop(pad_lanes(a, flo), pad_lanes(b, flo))[0]
-    lhs = final_exp(f)
-    if not bool(tower.fq12_eq(lhs, z)):
+    if _fused_ok():
+        lhs_ints = native.fq12_u64_to_tower_ints(native.fq12_dev_to_u64(
+            jax.device_get(_inner_z_fused(a, b, None))))
+    elif native.get_lib() is not None:
+        _, lhs_ints = final_exp_host_np(
+            native.fq12_dev_to_u64(jax.device_get(_inner_f(a, b, None))))
+    else:
+        lhs_ints = tower.fq12_decode(final_exp(_inner_f(a, b, None))[None])[0]
+    if lhs_ints != final_z_ints:
         raise VerificationError("Verification failed")
     return stmt

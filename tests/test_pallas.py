@@ -138,6 +138,21 @@ def test_fexp_tower_ops_vs_tower(rng):
     assert (np.asarray(got) == np.asarray(T.fq12_cyclo_sqr(g))).all()
 
 
+import os
+
+import pytest
+
+# Whole-kernel interpret runs compile for tens of minutes on XLA:CPU (the
+# default suite must stay CI-fast); the pieces above cover the arithmetic.
+# The full kernels are validated bit-exact on real TPU (scratch/ bench
+# scripts + the driver bench) and here under SIPP_SLOW_TESTS=1.
+slow = pytest.mark.skipif(
+    os.environ.get("SIPP_SLOW_TESTS") != "1",
+    reason="whole-kernel interpret compile is tens of minutes; SIPP_SLOW_TESTS=1",
+)
+
+
+@slow
 def test_miller_loop_fused_interpret():
     """Whole fused-Pallas Miller loop == XLA Miller loop, bit-exact (covers
     fq12 sqr/mul_line, dbl/add steps, and the digit conditional)."""
@@ -147,4 +162,20 @@ def test_miller_loop_fused_interpret():
     A, B = random_instance(2, seed=3)
     ref = miller_loop(A, B)
     out = miller_loop_fused(A, B, True)
+    assert (np.asarray(out) == np.asarray(ref)).all()
+
+
+@slow
+def test_miller_product_fused_interpret():
+    """Whole-loop+product-tree kernel == _product_tree(miller_loop), incl.
+    infinity-lane masking and the Frobenius tail, bit-exact."""
+    from sipp_tpu.ops.pallas_miller import miller_product_fused
+    from sipp_tpu.pairing.pairing import _product_tree, miller_loop
+    from sipp_tpu.utils.testing import random_instance
+
+    A, B = random_instance(8, seed=11)
+    A = A.at[3].set(0)
+    B = B.at[3].set(0)
+    ref = _product_tree(miller_loop(A, B))
+    out = miller_product_fused(A, B, True)
     assert (np.asarray(out) == np.asarray(ref)).all()
