@@ -74,6 +74,18 @@ def _fold_halves(a_lo, a_hi, b_lo, b_hi, xbits, xinvbits):
     return a2, b2
 
 
+@jax.jit
+def _fold_halves_fused(a_lo, a_hi, b_lo, b_hi, xbits, xinvbits):
+    """Fused-kernel fold: the whole 254-step ladder + affine conversion as
+    ONE Pallas kernel per group (ops/pallas_fold.py) instead of an XLA scan
+    of ~254 dispatched steps.  Bit-identical to _fold_halves on live lanes
+    and on dead (infinity) lanes."""
+    from ..ops import pallas_fold
+
+    return (pallas_fold.fold_g1_fused(a_lo, a_hi, xbits),
+            pallas_fold.fold_g2_fused(b_lo, b_hi, xinvbits))
+
+
 def _finalize_host(f_dev):
     """(B?, 2,3,2,L) pre-FE Miller product(s) -> (device-format np arrays,
     tower-int tuples) via the host C++ final exp (one transfer in)."""
@@ -150,8 +162,9 @@ def sipp_prove(a_g1, b_g2, return_transcript=False):
 
         x = tr.get_challenge()
         x_inv = pow(x, -1, params.R)
-        a, b = _fold_halves(a_lo, a_hi, b_lo, b_hi,
-                            scalar_to_bits(x), scalar_to_bits(x_inv))
+        fold = _fold_halves_fused if fused else _fold_halves
+        a, b = fold(a_lo, a_hi, b_lo, b_hi,
+                    scalar_to_bits(x), scalar_to_bits(x_inv))
         n = m
 
     proof.reverse()  # verifier reads back-to-front (prover_native.rs:78)

@@ -57,7 +57,10 @@ def sipp_verify(a_g1, b_g2, proof) -> SIPPStatement:
     if not use_native:
         z_dev = proof[len(proof) - 1]
 
-    from .prover import _floor, _fold_halves, _halves
+    from ..pairing.pairing import _fused_ok
+    from .prover import _floor, _fold_halves, _fold_halves_fused, _halves
+
+    fold = _fold_halves_fused if _fused_ok() else _fold_halves
 
     a, b = a_g1, b_g2
     w_min = 2 * _floor(n)
@@ -83,8 +86,8 @@ def sipp_verify(a_g1, b_g2, proof) -> SIPPStatement:
         idx -= 2
         a_lo, a_hi = _halves(a, m)
         b_lo, b_hi = _halves(b, m)
-        a, b = _fold_halves(a_lo, a_hi, b_lo, b_hi,
-                            scalar_to_bits(x), scalar_to_bits(x_inv))
+        a, b = fold(a_lo, a_hi, b_lo, b_hi,
+                    scalar_to_bits(x), scalar_to_bits(x_inv))
         n = m
 
     if use_native:

@@ -166,6 +166,55 @@ def test_miller_loop_fused_interpret():
 
 
 @slow
+def test_fold_kernels_interpret():
+    """Whole-ladder fold kernels == XLA fold path: live lanes bit-exact,
+    infinity lanes semantically correct (a1 + x*O = a1; O + x*a2 = [x]a2 —
+    cases the XLA scan path does not define)."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sipp_tpu import params
+    from sipp_tpu.curves import G1, G2, scalar_to_bits
+    from sipp_tpu.ops import pallas_fold as pf
+    from sipp_tpu.utils.testing import random_instance
+
+    A, B = random_instance(8, seed=21)
+    A2, B2 = random_instance(8, seed=22)
+    A = A.at[5].set(0).at[7].set(0)      # 5: dead lane, 7: offset at inf
+    A2 = A2.at[5].set(0).at[6].set(0)    # 6: base at inf
+    B = B.at[5].set(0).at[7].set(0)
+    B2 = B2.at[5].set(0).at[6].set(0)
+    x = 1234567890123456789012345678901234567890123456789 % params.R
+    xb = scalar_to_bits(x)
+
+    def run(kernel, coeff_shape, a1, a2, tdims):
+        off = jnp.transpose(a1, tdims)
+        base = jnp.transpose(a2, tdims)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (2,) + coeff_shape + (pf.L, 8), jnp.uint32),
+            scratch_shapes=[pltpu.VMEM(
+                (3,) + coeff_shape + (pf.L, 8), jnp.uint32)],
+            interpret=True,
+        )(jnp.asarray(pf.t.CONSTS_NP), jnp.asarray(pf._PM2_BITS),
+          jnp.asarray(xb), off, base)
+
+    for grp, a1, a2, kern, cs, td, ti in (
+        (G1, A, A2, pf._K_G1, (), (1, 2, 0), (2, 0, 1)),
+        (G2, B, B2, pf._K_G2, (2,), (1, 2, 3, 0), (3, 0, 1, 2)),
+    ):
+        got = jnp.transpose(run(kern, cs, a1, a2, td), ti)
+        ref = grp.to_affine(grp.fold(a1, a2, jnp.asarray(xb)))
+        exp = grp.to_affine(grp.scalar_mul(a2, jnp.asarray(xb)))
+        assert (np.asarray(got[:5]) == np.asarray(ref[:5])).all()
+        assert (np.asarray(got[5]) == 0).all()
+        assert (np.asarray(got[6]) == np.asarray(a1[6])).all()
+        assert (np.asarray(got[7]) == np.asarray(exp[7])).all()
+
+
+@slow
 def test_miller_product_fused_interpret():
     """Whole-loop+product-tree kernel == _product_tree(miller_loop), incl.
     infinity-lane masking and the Frobenius tail, bit-exact."""
