@@ -176,10 +176,13 @@ def mul(a, b):
 
 def _mul_impl(a, b):
     t_cols = _prod_full(a, _widen(b))
-    t_limbs, _ = norm(t_cols, 2 * L)
-    m_cols = _prod_low(t_limbs[..., :L, :], _c(1))
+    # m needs only T mod R: normalize the LOW L columns (carries out of
+    # column L-1 are irrelevant mod R); U accumulates the RAW t columns
+    # (< 2^21 each, sum < 2^22 — exact), skipping the high-half norm of T.
+    t_lo, _ = norm(t_cols[..., :L, :], L)
+    m_cols = _prod_low(t_lo, _c(1))
     m_limbs, _ = norm(m_cols, L)
-    u_cols = _prod_full(m_limbs, _c(0, wide=True)) + t_limbs
+    u_cols = _prod_full(m_limbs, _c(0, wide=True)) + t_cols
     u2 = u_cols + _c(3, wide=True)
     limbs, carry = norm(jnp.stack([u_cols, u2]), 2 * L)
     return jnp.where(
@@ -195,6 +198,19 @@ def add(a, b):
     cols = jnp.stack([s, s + _c(2)])
     limbs, carry = norm(cols, L)
     return jnp.where((carry[1] != 0)[..., None, :], limbs[1], limbs[0])
+
+
+def add_lazy(a, b):
+    """a + b as normalized 16-bit limbs WITHOUT the mod-p conditional
+    subtract: VALUE is the full sum (< 2p for canonical inputs), so this is
+    only safe feeding ops that canonicalize — Montgomery `mul` reduces any
+    inputs with bound(a)*bound(b) <= 4p^2 to the SAME canonical (< p) limbs
+    as canonical inputs would give (a 2p x 2p product is 4p^2 < p*R since
+    4p < R for BN254), making chains through mul bit-identical while
+    skipping ~half of add's normalization work (the stacked +R-p candidate
+    and its select)."""
+    limbs, _ = norm(a + b, L)
+    return limbs
 
 
 def sub(a, b):
@@ -249,11 +265,14 @@ def fq2_inv(a, pm2_ref, nbits: int):
 # Fq2 element: (..., 2, L, B) — coefficient axis at -3.
 
 def fq2_mul(a, b):
-    """Karatsuba Fq2 multiply, one stacked Fq mul (3 lanes)."""
+    """Karatsuba Fq2 multiply, one stacked Fq mul (3 lanes).  The pre-mul
+    cross sums are LAZY (< 2p): mul canonicalizes them bit-identically
+    (add_lazy rationale) — requires canonical (< p) inputs, which every
+    tower caller satisfies (mul/add/sub outputs are < p)."""
     a0, a1 = a[..., 0, :, :], a[..., 1, :, :]
     b0, b1 = b[..., 0, :, :], b[..., 1, :, :]
-    x = jnp.stack([a0, a1, add(a0, a1)])
-    y = jnp.stack([b0, b1, add(b0, b1)])
+    x = jnp.stack([a0, a1, add_lazy(a0, a1)])
+    y = jnp.stack([b0, b1, add_lazy(b0, b1)])
     v = mul(x, y)
     c0 = sub(v[0], v[1])
     c1 = sub(v[2], add(v[0], v[1]))

@@ -392,15 +392,19 @@ def final_exp_host_np(f_np):
 
 
 @jax.jit
-def _round_zs_fused(a_lo, a_hi, b_lo, b_g2_hi):
+def _round_zs_fused(a, b, m):
     """One fold round's (Z_L, Z_R) = (e-prod(A_hi, B_lo), e-prod(A_lo, B_hi))
-    INCLUDING final exps, one device program: two whole-loop Miller kernels
-    plus ONE B=2 stacked final-exp kernel (both tails for the price of one —
-    see pallas_fexp.final_exp_fused batch layout)."""
+    INCLUDING final exps, one device program: the dynamic-m halving masks,
+    two whole-loop Miller kernels, plus ONE B=2 stacked final-exp kernel
+    (both tails for the price of one — see pallas_fexp.final_exp_fused
+    batch layout).  m is a traced scalar: one compiled program per width."""
     from ..ops import pallas_fexp
+    from ..protocol.prover import _halves
 
+    a_lo, a_hi = _halves(a, m)
+    b_lo, b_hi = _halves(b, m)
     fl = _inner_f(a_hi, b_lo, None)
-    fr = _inner_f(a_lo, b_g2_hi, None)
+    fr = _inner_f(a_lo, b_hi, None)
     return pallas_fexp.final_exp_fused(jnp.stack([fl, fr]))
 
 

@@ -75,13 +75,16 @@ def _fold_halves(a_lo, a_hi, b_lo, b_hi, xbits, xinvbits):
 
 
 @jax.jit
-def _fold_halves_fused(a_lo, a_hi, b_lo, b_hi, xbits, xinvbits):
-    """Fused-kernel fold: the whole 254-step ladder + affine conversion as
-    ONE Pallas kernel per group (ops/pallas_fold.py) instead of an XLA scan
-    of ~254 dispatched steps.  Bit-identical to _fold_halves on live lanes
-    and on dead (infinity) lanes."""
+def _fold_round_fused(a, b, m, xbits, xinvbits):
+    """Fused-kernel fold round: the dynamic-m halving masks plus the whole
+    254-step ladder + affine conversion as ONE Pallas kernel per group
+    (ops/pallas_fold.py) — one device dispatch per round instead of an XLA
+    scan of ~254 steps.  Bit-identical to _halves + _fold_halves on live
+    lanes and on dead (infinity) lanes."""
     from ..ops import pallas_fold
 
+    a_lo, a_hi = _halves(a, m)
+    b_lo, b_hi = _halves(b, m)
     return (pallas_fold.fold_g1_fused(a_lo, a_hi, xbits),
             pallas_fold.fold_g2_fused(b_lo, b_hi, xinvbits))
 
@@ -138,18 +141,17 @@ def sipp_prove(a_g1, b_g2, return_transcript=False):
         # (one cheap slice dispatch per halving above the floor)
         if a.shape[0] > max(n, w_min):
             a, b = a[: max(n, w_min)], b[: max(n, w_min)]
-        a_lo, a_hi = _halves(a, m)
-        b_lo, b_hi = _halves(b, m)
         if fused:
-            # one program: both Miller products + one B=2 stacked final exp,
-            # one device->host transfer for both
-            zs_np = np.asarray(jax.device_get(
-                _round_zs_fused(a_lo, a_hi, b_lo, b_hi)))
+            # TWO dispatches per round total (zs program here, fold program
+            # below): halving masks recomputed in-program, one transfer
+            zs_np = np.asarray(jax.device_get(_round_zs_fused(a, b, m)))
             zl_np, zl_ints = zs_np[0], native.fq12_u64_to_tower_ints(
                 native.fq12_dev_to_u64(zs_np[0]))
             zr_np, zr_ints = zs_np[1], native.fq12_u64_to_tower_ints(
                 native.fq12_dev_to_u64(zs_np[1]))
         else:
+            a_lo, a_hi = _halves(a, m)
+            b_lo, b_hi = _halves(b, m)
             fl = _inner_f(a_hi, b_lo, None)
             fr = _inner_f(a_lo, b_hi, None)
             zs_np, zs_ints = finalize(jnp.stack([fl, fr]))
@@ -162,9 +164,12 @@ def sipp_prove(a_g1, b_g2, return_transcript=False):
 
         x = tr.get_challenge()
         x_inv = pow(x, -1, params.R)
-        fold = _fold_halves_fused if fused else _fold_halves
-        a, b = fold(a_lo, a_hi, b_lo, b_hi,
-                    scalar_to_bits(x), scalar_to_bits(x_inv))
+        if fused:
+            a, b = _fold_round_fused(a, b, m,
+                                     scalar_to_bits(x), scalar_to_bits(x_inv))
+        else:
+            a, b = _fold_halves(a_lo, a_hi, b_lo, b_hi,
+                                scalar_to_bits(x), scalar_to_bits(x_inv))
         n = m
 
     proof.reverse()  # verifier reads back-to-front (prover_native.rs:78)

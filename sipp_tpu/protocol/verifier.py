@@ -58,9 +58,9 @@ def sipp_verify(a_g1, b_g2, proof) -> SIPPStatement:
         z_dev = proof[len(proof) - 1]
 
     from ..pairing.pairing import _fused_ok
-    from .prover import _floor, _fold_halves, _fold_halves_fused, _halves
+    from .prover import _floor, _fold_halves, _fold_round_fused, _halves
 
-    fold = _fold_halves_fused if _fused_ok() else _fold_halves
+    fused = _fused_ok()
 
     a, b = a_g1, b_g2
     w_min = 2 * _floor(n)
@@ -84,10 +84,14 @@ def sipp_verify(a_g1, b_g2, proof) -> SIPPStatement:
             zr_xi = tower.fq12_pow_bits(proof[idx - 1], scalar_to_bits(x_inv))
             z_dev = tower.fq12_mul(zl_x, tower.fq12_mul(z_dev, zr_xi))
         idx -= 2
-        a_lo, a_hi = _halves(a, m)
-        b_lo, b_hi = _halves(b, m)
-        a, b = fold(a_lo, a_hi, b_lo, b_hi,
-                    scalar_to_bits(x), scalar_to_bits(x_inv))
+        if fused:
+            a, b = _fold_round_fused(a, b, m,
+                                     scalar_to_bits(x), scalar_to_bits(x_inv))
+        else:
+            a_lo, a_hi = _halves(a, m)
+            b_lo, b_hi = _halves(b, m)
+            a, b = _fold_halves(a_lo, a_hi, b_lo, b_hi,
+                                scalar_to_bits(x), scalar_to_bits(x_inv))
         n = m
 
     if use_native:
