@@ -43,7 +43,7 @@ def main():
     z.block_until_ready()
     log(f"warmup (compile) {time.time()-t0:.1f}s")
 
-    reps = 3
+    reps = 10
     t0 = time.time()
     for _ in range(reps):
         z = inner(a, b)

@@ -278,7 +278,7 @@ def miller_product_fused(p_aff, q_aff, interpret: bool = False):
     from ..pairing.pairing import _DIGITS
 
     B = p_aff.shape[0]
-    assert B & (B - 1) == 0 and B <= 128
+    assert B & (B - 1) == 0 and B <= 512
     pt = jnp.transpose(p_aff, (1, 2, 0))
     qt = jnp.transpose(q_aff, (1, 2, 3, 0))
     out = pl.pallas_call(
