@@ -96,18 +96,24 @@ def _sel(cond, a, b, f):
 
 
 def _dbl(p, f):
-    """Jacobian doubling, a=0 curve (mirror weierstrass.CurveOps.dbl)."""
+    """Jacobian doubling, a=0 curve (mirror weierstrass.CurveOps.dbl).
+    Stacked to avoid latency-bound single muls: Y3 = 3*M*S - M^3 - 8C
+    (exact identity for M*(S - X3) - 8C with X3 = M^2 - 2S), so W = M^2
+    rides the second stack and (M^3, M*S) the third — no single muls in
+    the 254-iteration ladder (see pallas_miller.dbl_step)."""
     X, Y, Z = p[0], p[1], p[2]
     v = f.mul(jnp.stack([X, Y, Y]), jnp.stack([X, Y, Z]))
     A, B, YZ = v[0], v[1], v[2]
     xb = f.add(X, B)
-    v = f.mul(jnp.stack([B, xb]), jnp.stack([B, xb]))
-    C, D = v[0], v[1]
-    S = f.double(f.sub(f.sub(D, A), C))
     M = f.add(f.double(A), A)
-    X3 = f.sub(f.mul(M, M), f.double(S))
+    v = f.mul(jnp.stack([B, xb, M]), jnp.stack([B, xb, M]))
+    C, D, W = v[0], v[1], v[2]
+    S = f.double(f.sub(f.sub(D, A), C))
+    v = f.mul(jnp.stack([M, M]), jnp.stack([W, S]))
+    M3, MS = v[0], v[1]
+    X3 = f.sub(W, f.double(S))
     C8 = f.double(f.double(f.double(C)))
-    Y3 = f.sub(f.mul(M, f.sub(S, X3)), C8)
+    Y3 = f.sub(f.sub(f.add(f.double(MS), MS), M3), C8)
     Z3 = f.double(YZ)
     return jnp.stack([X3, Y3, Z3])
 
@@ -118,10 +124,10 @@ def _add_mixed(p, q_aff, f):
     infinity select)."""
     X, Y, Z = p[0], p[1], p[2]
     x2, y2 = q_aff[0], q_aff[1]
-    ZZ = f.mul(Z, Z)
-    v = f.mul(jnp.stack([ZZ, x2]), jnp.stack([Z, ZZ]))
-    ZZZ, U2 = v[0], v[1]
-    S2 = f.mul(y2, ZZZ)
+    v = f.mul(jnp.stack([Z, y2]), jnp.stack([Z, Z]))
+    ZZ, Y2Z = v[0], v[1]
+    v = f.mul(jnp.stack([x2, Y2Z]), jnp.stack([ZZ, ZZ]))
+    U2, S2 = v[0], v[1]
     H = f.sub(U2, X)
     R = f.sub(S2, Y)
     v = f.mul(jnp.stack([H, R]), jnp.stack([H, R]))

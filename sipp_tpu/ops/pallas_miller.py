@@ -116,23 +116,31 @@ def fq12_mul_line(f, a, b, c):
 # ------------------------------------------------------------- curve steps
 
 def dbl_step(tj, xp, yp):
-    """Fused Jacobian doubling + scaled line (mirror of pairing._dbl_step)."""
+    """Fused Jacobian doubling + scaled line (mirror of pairing._dbl_step).
+
+    Restructured for stack ILP: a single (L, 128) mul is LATENCY-bound on
+    the VPU (RESULTS.md), so the serial MM = M^2 / Y3a = M*(S - X3) pair of
+    the textbook formula is replaced by the exact identity
+    Y3 = 3*M*S - M^3 - 8C, letting W = M^2 ride the second stacked multiply
+    and (M^3, M*S) the third — three stacked muls, zero singles, per step.
+    Bit-identical: every op canonicalizes mod p, and the identity is exact.
+    """
     X, Y, Z = tj[..., 0, :, :, :], tj[..., 1, :, :, :], tj[..., 2, :, :, :]
     v = t.fq2_mul(jnp.stack([X, Y, Z, Y]), jnp.stack([X, Y, Z, Z]))
     A, B, ZZ, YZ = v[0], v[1], v[2], v[3]
     XB = t.add(X, B)
-    v = t.fq2_mul(
-        jnp.stack([B, XB, YZ, A, X]),
-        jnp.stack([B, XB, ZZ, ZZ, A]),
-    )
-    C, D, T1, T2, T3 = v[0], v[1], v[2], v[3], v[4]
-    S = t.double(t.sub(t.sub(D, A), C))
     M = t.add(t.double(A), A)
-    MM = t.fq2_mul(M, M)
-    X3 = t.sub(MM, t.double(S))
-    Y3a = t.fq2_mul(M, t.sub(S, X3))
+    v = t.fq2_mul(
+        jnp.stack([B, XB, YZ, A, X, M]),
+        jnp.stack([B, XB, ZZ, ZZ, A, M]),
+    )
+    C, D, T1, T2, T3, W = (v[i] for i in range(6))
+    S = t.double(t.sub(t.sub(D, A), C))
+    v = t.fq2_mul(jnp.stack([M, M]), jnp.stack([W, S]))
+    M3, MS = v[0], v[1]
+    X3 = t.sub(W, t.double(S))
     C8 = t.double(t.double(t.double(C)))
-    Y3 = t.sub(Y3a, C8)
+    Y3 = t.sub(t.sub(t.add(t.double(MS), MS), M3), C8)
     Z3 = t.double(YZ)
     t2 = jnp.stack([X3, Y3, Z3], axis=-4)
     a = t.fq2_scale(t.double(T1), yp)
@@ -142,13 +150,15 @@ def dbl_step(tj, xp, yp):
 
 
 def add_step(tj, q, xp, yp):
-    """Fused mixed addition + line (mirror of pairing._add_step)."""
+    """Fused mixed addition + line (mirror of pairing._add_step).  Stacked
+    to avoid latency-bound single muls: S2 = y2*Z^3 is computed as
+    (y2*Z)*(Z*Z), letting y2*Z join the first stack (dbl_step rationale)."""
     X, Y, Z = tj[..., 0, :, :, :], tj[..., 1, :, :, :], tj[..., 2, :, :, :]
     x2, y2 = q[..., 0, :, :, :], q[..., 1, :, :, :]
-    ZZ = t.fq2_mul(Z, Z)
-    v = t.fq2_mul(jnp.stack([ZZ, x2]), jnp.stack([Z, ZZ]))
-    ZZZ, U2 = v[0], v[1]
-    S2 = t.fq2_mul(y2, ZZZ)
+    v = t.fq2_mul(jnp.stack([Z, y2]), jnp.stack([Z, Z]))
+    ZZ, Y2Z = v[0], v[1]
+    v = t.fq2_mul(jnp.stack([x2, Y2Z]), jnp.stack([ZZ, ZZ]))
+    U2, S2 = v[0], v[1]
     H = t.sub(U2, X)
     R = t.sub(S2, Y)
     v = t.fq2_mul(jnp.stack([H, R]), jnp.stack([H, R]))
