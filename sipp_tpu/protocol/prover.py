@@ -75,6 +75,27 @@ def _fold_halves(a_lo, a_hi, b_lo, b_hi, xbits, xinvbits):
 
 
 @jax.jit
+def _fold_rounds_scan(a, b, ms, xbits_all, xinvbits_all):
+    """ALL fixed-width fold rounds as ONE device program: lax.scan over
+    (m, xbits, xinvbits) per round — the round body (halving masks + the
+    two whole-ladder fold kernels) compiles once and the program dispatches
+    once.  Used by the verifier, whose challenges are all known up-front
+    from the proof (host transcript replay needs no device work)."""
+    from ..ops import pallas_fold
+
+    def body(carry, inp):
+        a, b = carry
+        m, xb, xib = inp
+        a_lo, a_hi = _halves(a, m)
+        b_lo, b_hi = _halves(b, m)
+        return (pallas_fold.fold_g1_fused(a_lo, a_hi, xb),
+                pallas_fold.fold_g2_fused(b_lo, b_hi, xib)), None
+
+    (a, b), _ = jax.lax.scan(body, (a, b), (ms, xbits_all, xinvbits_all))
+    return a, b
+
+
+@jax.jit
 def _fold_round_fused(a, b, m, xbits, xinvbits):
     """Fused-kernel fold round: the dynamic-m halving masks plus the whole
     254-step ladder + affine conversion as ONE Pallas kernel per group
@@ -109,6 +130,121 @@ def _decode_z(z_dev):
     """Device-format final z -> (np array, tower ints), one transfer."""
     z_np = np.asarray(jax.device_get(z_dev))
     return z_np, native.fq12_u64_to_tower_ints(native.fq12_dev_to_u64(z_np))
+
+
+# --------------------------------------------------------- on-chip prover
+
+def _bits_msb(fr_limbs):
+    """(..., 16) canonical Fr limbs -> (254,) MSB-first bit array."""
+    idx = (253 - jnp.arange(254)) // 16
+    sh = (253 - jnp.arange(254)) % 16
+    return (fr_limbs[..., idx] >> sh.astype(jnp.uint32)) & 1
+
+
+def _round_body_onchip(a, b, state, m):
+    """One fold round ENTIRELY on device: cross Miller products, B=2 final
+    exp, transcript appends, challenge, Fr inversion (Fermat over r-2), and
+    both fold ladders.  Bit-identical to the host-sync round: the device
+    transcript reproduces the host hash chain and digit quirk exactly."""
+    from ..fields import FR
+    from ..ops import pallas_fexp, pallas_fold
+    from . import transcript_device as td
+
+    a_lo, a_hi = _halves(a, m)
+    b_lo, b_hi = _halves(b, m)
+    fl = _inner_f(a_hi, b_lo, None)
+    fr_ = _inner_f(a_lo, b_hi, None)
+    zs = pallas_fexp.final_exp_fused(jnp.stack([fl, fr_]))
+    state = td.append_fq12(state, zs[0])
+    state = td.append_fq12(state, zs[1])
+    xbits, x_fr = td.get_challenge(state)
+    xinv = FR.from_mont(FR.inv(FR.to_mont(x_fr)))
+    a2 = pallas_fold.fold_g1_fused(a_lo, a_hi, xbits)
+    b2 = pallas_fold.fold_g2_fused(b_lo, b_hi, _bits_msb(xinv))
+    return a2, b2, state, zs
+
+
+@jax.jit
+def _z_onchip(a, b, state):
+    """Initial Z = FE(prod e(A_i, B_i)) + its transcript append, on device."""
+    from ..ops import pallas_fexp
+    from . import transcript_device as td
+
+    z = pallas_fexp.final_exp_fused(_inner_f(a, b, None)[None])[0]
+    return z, td.append_fq12(state, z)
+
+
+@jax.jit
+def _round_onchip(a, b, state, m):
+    return _round_body_onchip(a, b, state, m)
+
+
+@jax.jit
+def _rounds_onchip(a, b, state, ms):
+    """All fixed-width rounds as ONE scanned device program."""
+
+    def body(carry, m):
+        a, b, state = carry
+        a2, b2, state, zs = _round_body_onchip(a, b, state, m)
+        return (a2, b2, state), zs
+
+    (a, b, state), zs_all = jax.lax.scan(body, (a, b, state), ms)
+    return a, b, state, zs_all
+
+
+def sipp_prove_onchip(a_g1, b_g2, return_transcript=False):
+    """Fully on-chip prover: after the host point-prologue hash, the entire
+    fold recursion — cross inner products, final exps, Poseidon transcript,
+    challenges, Fr inversions, folds — runs on device with ZERO host syncs
+    (the reference's serial spine, SURVEY.md §3.5, becomes device-resident):
+    one program for Z, one per wide round, ONE scanned program for all
+    fixed-width rounds, then a single transfer of the proof.  Produces
+    bit-identical proofs to sipp_prove (device transcript is quirk-exact)."""
+    n = a_g1.shape[0]
+    assert n == b_g2.shape[0] and n & (n - 1) == 0 and n >= 1
+    from ..fields import FGL
+
+    a_host = curves.g1_decode(a_g1)
+    b_host = curves.g2_decode(b_g2)
+    tr = Transcript()
+    tr.append_points(a_host, b_host)
+    state = FGL.encode(list(tr.state))
+
+    a, b = a_g1, b_g2
+    z_dev, state = _z_onchip(a, b, state)
+    w_min = 2 * _floor(n)
+    zs_wide = []
+    m = n // 2
+    while m >= 1 and a.shape[0] > w_min:
+        a, b, state, zs = _round_onchip(a, b, state, m)
+        a, b = a[: max(m, w_min)], b[: max(m, w_min)]
+        zs_wide.append(zs)
+        m //= 2
+    ms = []
+    while m >= 1:
+        ms.append(m)
+        m //= 2
+    zs_tail = None
+    if ms:
+        a, b, state, zs_tail = _rounds_onchip(
+            a, b, state, np.asarray(ms, np.int32))
+
+    z_np, zs_wide_np, zs_tail_np, state_np = jax.device_get(
+        (z_dev, zs_wide, zs_tail, state))
+    proof = [np.asarray(z_np)]
+    for zs in zs_wide_np:
+        proof.append(np.asarray(zs[0]))
+        proof.append(np.asarray(zs[1]))
+    if zs_tail_np is not None:
+        for r in np.asarray(zs_tail_np):
+            proof.append(r[0])
+            proof.append(r[1])
+    proof.reverse()  # verifier reads back-to-front (prover_native.rs:78)
+    out = jnp.asarray(np.stack(proof))
+    if return_transcript:
+        tr.state = FGL.decode(jnp.asarray(state_np))
+        return out, tr
+    return out
 
 
 def sipp_prove(a_g1, b_g2, return_transcript=False):

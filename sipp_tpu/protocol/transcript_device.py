@@ -6,11 +6,14 @@ Goldilocks limb arrays on device, appends run the vectorized Poseidon chain
 fold round never has to leave the chip.  The host transcript remains the
 serial-prologue fast path; both are differentially tested.
 
-One documented deviation: the challenge uses the fixed 2-u32-digits-per-
-element layout (the reference circuit twin's behavior,
-transcript_circuit.rs:58-64).  The reference native path drops leading zero
-u32 limbs (probability 2^-32 per challenge); the host transcript reproduces
-that quirk exactly, the device path does not.
+The challenge reproduces the reference native path's variable-length
+`to_u32_digits` quirk EXACTLY (transcript_native.rs:58-63: each digest
+element contributes its little-endian u32 digits with leading zero limbs
+dropped, shifting later elements' positions — hit with probability ~2^-32
+per challenge): `_digest_to_challenge_limbs` computes the per-element digit
+counts and scatters limbs by dynamic offset, so device challenges equal
+host challenges bit-for-bit on every input (tested against the host quirk
+logic on synthetic zero-limb digests in tests/test_transcript_device.py).
 """
 
 import jax
@@ -77,16 +80,42 @@ def append_g2(state, q_aff):
 
 
 @jax.jit
+def _digest_to_challenge_limbs(canon):
+    """(4, 5) canonical Goldilocks digest limbs -> (16,) 16-bit limbs of the
+    quirk-exact concatenated integer (transcript_native.rs:58-63).
+
+    Rust `BigUint::to_u32_digits` drops leading zero u32 limbs per element:
+    element k contributes len_k in {0, 1, 2} u32 digits (2 minus one if its
+    high u32 is zero, minus one more if the whole value is zero), landing at
+    u32 offset c_k = sum_{j<k} len_j.  Scattered with one-hot compares —
+    branch-free, bit-identical to the host logic for every digest."""
+    l = canon[..., :4]                                  # (4 elems, 4 limbs)
+    lo_zero = (l[..., 0] | l[..., 1]) == 0
+    hi_zero = (l[..., 2] | l[..., 3]) == 0
+    lens = (2 - hi_zero.astype(jnp.int32)
+            - (hi_zero & lo_zero).astype(jnp.int32))    # (4,)
+    offs = jnp.cumsum(lens) - lens                      # u32 offsets c_k
+    i = jnp.arange(16)
+    out = jnp.zeros((16,), jnp.uint32)
+    for k in range(4):
+        base = 2 * offs[k]
+        for t_ in range(4):
+            present = (lens[k] >= 1) if t_ < 2 else (lens[k] == 2)
+            out = out + jnp.where((i == base + t_) & present, l[k, t_], 0)
+    return out
+
+
+@jax.jit
 def get_challenge(state):
     """Fr challenge as MSB-first bit array (254,) + canonical Fr limbs.
 
-    Fixed-width digit layout: b = sum_k digest_k * 2^(64k) reduced mod r.
-    Returns (bits, fr_limbs) ready to drive the fold/exp kernels on device.
-    """
+    b = the quirk-exact digit concatenation of the digest (see
+    _digest_to_challenge_limbs), reduced mod r.  Returns (bits, fr_limbs)
+    ready to drive the fold/exp kernels on device.  Bit-identical to the
+    host Transcript.get_challenge."""
     digest = poseidon.hash_no_pad_device(state)        # (4, 5) Montgomery
     canon = FGL.from_mont(digest)                      # (4, 5) 16-bit limbs
-    # 4 x 64-bit values -> 16 x 16-bit limbs of a 256-bit integer
-    limbs = canon[..., :4].reshape(*canon.shape[:-2], 16)
+    limbs = _digest_to_challenge_limbs(canon)
     fr = FR.from_mont(FR.to_mont(limbs))               # reduce mod r, canonical
     # bits, MSB first: bit i = limb[(253-i)//16] >> ((253-i)%16) & 1
     idx = (253 - jnp.arange(254)) // 16

@@ -58,16 +58,19 @@ def sipp_verify(a_g1, b_g2, proof) -> SIPPStatement:
         z_dev = proof[len(proof) - 1]
 
     from ..pairing.pairing import _fused_ok
-    from .prover import _floor, _fold_halves, _fold_round_fused, _halves
+    from .prover import (_floor, _fold_halves, _fold_round_fused,
+                         _fold_rounds_scan, _halves)
 
     fused = _fused_ok()
 
-    a, b = a_g1, b_g2
+    # phase 1 (pure host): replay the transcript and the Z' power chain,
+    # collecting the fold schedule — unlike the prover, ALL challenges are
+    # derivable up-front from the proof, so the device folds can run as one
+    # scanned program afterwards.
     w_min = 2 * _floor(n)
+    sched = []  # (m, xbits, xinvbits)
     while n > 1:
         m = n // 2
-        if a.shape[0] > max(n, w_min):
-            a, b = a[: max(n, w_min)], b[: max(n, w_min)]
         tr.append_fq12(proof_ints[idx])
         tr.append_fq12(proof_ints[idx - 1])
 
@@ -84,15 +87,31 @@ def sipp_verify(a_g1, b_g2, proof) -> SIPPStatement:
             zr_xi = tower.fq12_pow_bits(proof[idx - 1], scalar_to_bits(x_inv))
             z_dev = tower.fq12_mul(zl_x, tower.fq12_mul(z_dev, zr_xi))
         idx -= 2
-        if fused:
-            a, b = _fold_round_fused(a, b, m,
-                                     scalar_to_bits(x), scalar_to_bits(x_inv))
-        else:
+        sched.append((m, scalar_to_bits(x), scalar_to_bits(x_inv)))
+        n = m
+
+    # phase 2 (device): the folds.  Wide rounds (width above the shared
+    # floor) run individually; the fixed-width tail is ONE scanned program.
+    a, b = a_g1, b_g2
+    k = 0
+    if fused:
+        while a.shape[0] > w_min and k < len(sched):
+            m, xb, xib = sched[k]
+            k += 1
+            a, b = _fold_round_fused(a, b, m, xb, xib)
+            a, b = a[: max(m, w_min)], b[: max(m, w_min)]
+        if k < len(sched):
+            ms = np.asarray([s[0] for s in sched[k:]], np.int32)
+            xbs = np.stack([s[1] for s in sched[k:]])
+            xibs = np.stack([s[2] for s in sched[k:]])
+            a, b = _fold_rounds_scan(a, b, ms, xbs, xibs)
+    else:
+        for m, xb, xib in sched:
+            if a.shape[0] > max(2 * m, w_min):
+                a, b = a[: max(2 * m, w_min)], b[: max(2 * m, w_min)]
             a_lo, a_hi = _halves(a, m)
             b_lo, b_hi = _halves(b, m)
-            a, b = _fold_halves(a_lo, a_hi, b_lo, b_hi,
-                                scalar_to_bits(x), scalar_to_bits(x_inv))
-        n = m
+            a, b = _fold_halves(a_lo, a_hi, b_lo, b_hi, xb, xib)
 
     if use_native:
         final_z_ints = native.fq12_u64_to_tower_ints(z_u)

@@ -46,3 +46,34 @@ def test_device_challenge_matches_host():
     for b in np.asarray(bits):
         val = (val << 1) | int(b)
     assert val == got
+
+
+def test_challenge_digit_quirk_exact():
+    """_digest_to_challenge_limbs reproduces the host's variable-length
+    to_u32_digits concatenation on synthetic digests that hit the rare
+    dropped-limb cases (zero high u32, zero element) the random tests
+    never reach."""
+    from sipp_tpu.protocol.transcript import _u32_digits_var
+
+    cases = [
+        [1, 2, 3, 4],
+        [0x1234_5678_9ABC_DEF0, 0xFFFF_FFFF_FFFF_FFFF, 1, 2**63],
+        [0x0000_0000_DEAD_BEEF, 5, 0, 0xFFFF_FFFF],          # hi==0, elem==0
+        [0, 0, 0, 0],
+        [0, 0x1_0000_0000, 0x7FFF_FFFF, 0],
+    ]
+    for elems in cases:
+        digits = []
+        for d in elems:
+            digits.extend(_u32_digits_var(d))
+        want = 0
+        for i, d in enumerate(digits):
+            want |= d << (32 * i)
+        want_limbs = [(want >> (16 * i)) & 0xFFFF for i in range(16)]
+
+        canon = np.zeros((4, FGL.L), np.uint32)
+        for k, d in enumerate(elems):
+            for t in range(4):
+                canon[k, t] = (d >> (16 * t)) & 0xFFFF
+        got = TD._digest_to_challenge_limbs(jnp.asarray(canon))
+        assert [int(x) for x in got] == want_limbs, elems
