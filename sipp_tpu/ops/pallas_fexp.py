@@ -16,8 +16,13 @@ reference semantics: the final exponentiation of the per-pair `pairing` calls
 tested bit-exact against final_exp in tests/test_pallas.py.
 
 Layouts: transposed (ops/tmul.py) — limbs on sublanes, batch on lanes.
-The register file for the addition-chain tape lives in a VMEM scratch of
-12 Fq12 slots, dynamically indexed by the SMEM instruction tape.
+The whole exponent schedule is STATIC (p-2, the BN parameter x, and the
+lambda addition-chain tape are compile-time constants), so the kernel is
+fully unrolled where it pays: the x-power chains and the Fermat inversion
+run as squaring chains + stacked set-bit product trees (tmul.pow_tree, ~2x
+less serial depth than square-and-multiply), and the tape runs with static
+register names and statically selected conj/Frobenius post-ops instead of
+a scratch register file with dynamic indexing.
 """
 
 import functools
@@ -42,10 +47,7 @@ FROB_NP = np.stack(
      for k in (1, 2, 3)]
 )
 
-_PM2_BITS = np.array([int(b) for b in bin(params.P - 2)[2:]], dtype=np.uint32)
 _X_BITS = np.array([int(b) for b in bin(params.X)[2:]], dtype=np.uint32)
-NB_P = len(_PM2_BITS)
-NB_X = len(_X_BITS)
 
 
 def _tape():
@@ -83,21 +85,22 @@ def fq12_cyclo_sqr(g):
     y = jnp.stack([z0, z1, z1, z2, z3, z3, z4, z5, z5])
     v = t.fq2_mul(x, y)
 
-    def fp4(a2, b2, ab):
-        return t.add(a2, t.fq2_mul_xi(b2)), t.double(ab)
+    # Fp4 squarings for the three pairs at once (one stacked stage each):
+    # t = a^2 + xi b^2, u = 2ab.
+    a2 = jnp.stack([v[0], v[3], v[6]])
+    b2 = jnp.stack([v[1], v[4], v[7]])
+    ab = jnp.stack([v[2], v[5], v[8]])
+    t0_, u0, s0 = t.add(a2, t.fq2_mul_xi(b2))
+    t1_, u1, s1 = t.double(ab)
 
-    t0_, t1_ = fp4(v[0], v[1], v[2])
-    u0, u1 = fp4(v[3], v[4], v[5])
-    s0, s1 = fp4(v[6], v[7], v[8])
-
-    def tri(tt, z, plus):
-        r = t.add(t.double(tt), tt)
-        return t.add(r, t.double(z)) if plus else t.sub(r, t.double(z))
-
-    lo = jnp.stack([tri(t0_, z0, False), tri(u0, z4, False),
-                    tri(s0, z3, False)], axis=-4)
-    hi = jnp.stack([tri(t.fq2_mul_xi(s1), z2, True), tri(t1_, z1, True),
-                    tri(u1, z5, True)], axis=-4)
+    # the six 3T +/- 2z chains as TWO stacked stages (3T then the +/- 2z),
+    # instead of six separate serial add chains
+    T6 = jnp.stack([t0_, u0, s0, t.fq2_mul_xi(s1), t1_, u1])
+    Z6 = jnp.stack([z0, z4, z3, z2, z1, z5])
+    r3 = t.add(t.double(T6), T6)
+    d2 = t.double(Z6)
+    lo = jnp.moveaxis(t.sub(r3[:3], d2[:3]), 0, -4)
+    hi = jnp.moveaxis(t.add(r3[3:], d2[3:]), 0, -4)
     return jnp.stack([lo, hi], axis=-5)
 
 
@@ -114,7 +117,7 @@ def fq12_frob(a, frob, k: int):
     return out.reshape(a.shape)
 
 
-def fq6_inv(a, pm2_ref):
+def fq6_inv(a):
     """Mirror of tower.fq6_inv (one Fq2 inversion)."""
     a0, a1, a2 = a[..., 0, :, :, :], a[..., 1, :, :, :], a[..., 2, :, :, :]
     prods = t.fq2_mul(
@@ -127,60 +130,50 @@ def fq6_inv(a, pm2_ref):
     C = t.sub(s1, p02)
     u = t.fq2_mul(jnp.stack([a0, a2, a1]), jnp.stack([A, B, C]))
     tt = t.add(u[0], t.fq2_mul_xi(t.add(u[1], u[2])))
-    tinv = t.fq2_inv(tt, pm2_ref, NB_P)
+    tinv = t.fq2_inv(tt)
     out = t.fq2_mul(jnp.stack([A, B, C]), tinv[None])
     return jnp.moveaxis(out, 0, -4)
 
 
-def fq12_inv(a, pm2_ref):
+def fq12_inv(a):
     """Mirror of tower.fq12_inv (norm-map descent, one Fq Fermat inv)."""
     a0, a1 = a[..., 0, :, :, :, :], a[..., 1, :, :, :, :]
     sq = fq6_mul(jnp.stack([a0, a1]), jnp.stack([a0, a1]))
-    tt = fq6_inv(t.sub(sq[0], fq6_mul_by_v(sq[1])), pm2_ref)
+    tt = fq6_inv(t.sub(sq[0], fq6_mul_by_v(sq[1])))
     return jnp.stack([fq6_mul(a0, tt), t.neg(fq6_mul(a1, tt))], axis=-5)
 
 
-def _powx(v, x_ref):
-    """v^x (x = BN parameter, MSB bit 1) by cyclotomic square-and-multiply."""
-
-    def body(i, acc):
-        acc = fq12_cyclo_sqr(acc)
-        return jnp.where(x_ref[i] != 0, fq12_mul(acc, v), acc)
-
-    return jax.lax.fori_loop(1, NB_X, body, v)
+def _powx(v):
+    """v^x (x = BN parameter, static 63-bit exponent): 62 cyclotomic
+    squarings + one stacked 28-leaf product tree (tmul.pow_tree)."""
+    return t.pow_tree(v, _X_BITS, sqrfn=fq12_cyclo_sqr, mulfn=fq12_mul)
 
 
 # ------------------------------------------------------------------ kernel
 
-def _fexp_kernel(c_ref, frob_ref, pm2_ref, x_ref, tape_ref, f_ref,
-                 o_ref, regs_ref):
+def _fexp_kernel(c_ref, frob_ref, f_ref, o_ref):
     with t.bound_consts(c_ref[:]):
         frob = frob_ref[:]
         f = f_ref[:]
         # easy part: g = (conj(f) * f^-1)^(p^2) * (conj(f) * f^-1)
-        g = fq12_mul(fq12_conj(f), fq12_inv(f, pm2_ref))
+        g = fq12_mul(fq12_conj(f), fq12_inv(f))
         g = fq12_mul(fq12_frob(g, frob, 2), g)
-        # register file: 0=g, 1=g^x, 2=g^(x^2), 3=g^(x^3), 4..11 scratch
-        regs_ref[0] = g
-        v = g
+        # register file with STATIC names: 0=g, 1=g^x, 2=g^(x^2), 3=g^(x^3),
+        # 4..11 tape scratch; the tape and its conj/frob post-ops are
+        # compile-time constants, so no dynamic indexing / where-selects
+        regs = {0: g}
         for k in (1, 2, 3):
-            v = _powx(v, x_ref)
-            regs_ref[k] = v
-
-        def tape_step(i, carry):
-            dst, s1, s2 = tape_ref[i, 0], tape_ref[i, 1], tape_ref[i, 2]
-            post = tape_ref[i, 3]
-            x1 = regs_ref[pl.ds(s1, 1)][0]
-            x2 = regs_ref[pl.ds(s2, 1)][0]
-            r = fq12_mul(x1, x2)
-            r = jnp.where(post == 1, fq12_conj(r), r)
-            r = jnp.where(post == 2, fq12_frob(r, frob, 1), r)
-            r = jnp.where(post == 3, fq12_frob(r, frob, 2), r)
-            regs_ref[pl.ds(dst, 1)] = r[None]
-            return carry
-
-        jax.lax.fori_loop(0, _tape().shape[0], tape_step, 0)
-        o_ref[:] = fq12_mul(regs_ref[5], fq12_frob(regs_ref[0], frob, 3))
+            regs[k] = _powx(regs[k - 1])
+        for dst, s1, s2, post in _tape().tolist():
+            r = fq12_mul(regs[s1], regs[s2])
+            if post == 1:
+                r = fq12_conj(r)
+            elif post == 2:
+                r = fq12_frob(r, frob, 1)
+            elif post == 3:
+                r = fq12_frob(r, frob, 2)
+            regs[dst] = r
+        o_ref[:] = fq12_mul(regs[5], fq12_frob(regs[0], frob, 3))
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -203,21 +196,16 @@ def final_exp_fused(f, interpret: bool = False):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # consts
             pl.BlockSpec(memory_space=pltpu.VMEM),   # frobenius table
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # p-2 bits
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # x bits
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # tape
             pl.BlockSpec(memory_space=pltpu.VMEM),   # f
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 2, 3, 2, L, 1), jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((12, B, 2, 3, 2, L, 1), jnp.uint32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
         jnp.asarray(t.CONSTS_NP),
         jnp.asarray(FROB_NP),
-        jnp.asarray(_PM2_BITS),
-        jnp.asarray(_X_BITS),
-        jnp.asarray(_tape()),
         ft,
     )
     return out[..., 0]

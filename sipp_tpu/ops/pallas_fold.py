@@ -24,18 +24,13 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .. import params
 from ..fields import FQ
 from . import tmul as t
 
 L = FQ.L
-
-_PM2_BITS = np.array([int(b) for b in bin(params.P - 2)[2:]], dtype=np.uint32)
-NB_P = len(_PM2_BITS)
 
 
 class _FqAd:
@@ -53,9 +48,7 @@ class _FqAd:
     def is_zero(x):
         return jnp.all(x == 0, axis=-2)
 
-    @staticmethod
-    def inv(x, pm2_ref):
-        return t.inv(x, pm2_ref, NB_P)
+    inv = staticmethod(t.inv)
 
     @staticmethod
     def one_like(x):
@@ -77,9 +70,7 @@ class _Fq2Ad:
     def is_zero(x):
         return jnp.all(x == 0, axis=(-3, -2))
 
-    @staticmethod
-    def inv(x, pm2_ref):
-        return t.fq2_inv(x, pm2_ref, NB_P)
+    inv = staticmethod(t.fq2_inv)
 
     @staticmethod
     def one_like(x):
@@ -146,10 +137,10 @@ def _add_mixed(p, q_aff, f):
     return _sel(q_inf[None], p, out, f)
 
 
-def _to_affine(p, pm2_ref, f):
+def _to_affine(p, f):
     """Jacobian -> affine; infinity -> (0, 0) (mirror to_affine)."""
     X, Y, Z = p[0], p[1], p[2]
-    zinv = f.inv(Z, pm2_ref)
+    zinv = f.inv(Z)
     zinv2 = f.mul(zinv, zinv)
     v = f.mul(jnp.stack([X, zinv2]), jnp.stack([zinv2, zinv]))
     x, zinv3 = v[0], v[1]
@@ -159,7 +150,7 @@ def _to_affine(p, pm2_ref, f):
 
 
 def _make_fold_kernel(f):
-    def kernel(c_ref, pm2_ref, bits_ref, off_ref, base_ref, o_ref, acc_ref):
+    def kernel(c_ref, bits_ref, off_ref, base_ref, o_ref, acc_ref):
         with t.bound_consts(c_ref[:]):
             base = base_ref[:]
             # acc starts at [bit0]base (bit 0 of the challenge is the MSB and
@@ -181,7 +172,7 @@ def _make_fold_kernel(f):
 
             jax.lax.fori_loop(1, bits_ref.shape[0], body, 0)
             out = _add_mixed(acc_ref[:], off_ref[:], f)
-            o_ref[:] = _to_affine(out, pm2_ref, f)
+            o_ref[:] = _to_affine(out, f)
 
     return kernel
 
@@ -196,7 +187,6 @@ def _fold_call(kernel, coeff_shape, off_t, base_t, bits):
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # consts
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # p-2 bits
             pl.BlockSpec(memory_space=pltpu.SMEM),   # challenge bits
             pl.BlockSpec(memory_space=pltpu.VMEM),   # offset (affine)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # base (affine)
@@ -209,7 +199,6 @@ def _fold_call(kernel, coeff_shape, off_t, base_t, bits):
             vmem_limit_bytes=100 * 1024 * 1024),
     )(
         jnp.asarray(t.CONSTS_NP),
-        jnp.asarray(_PM2_BITS),
         bits,
         off_t,
         base_t,

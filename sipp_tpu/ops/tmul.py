@@ -29,6 +29,7 @@ import contextlib
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..fields import FQ
@@ -175,6 +176,50 @@ def mul(a, b):
 
 
 def _mul_impl(a, b):
+    """CIOS with lazy columns: interleave one a-limb row of the product with
+    one Montgomery-reduction limb per iteration, shifting the accumulator
+    down a column each time.  Columns stay lazy (< 2^22, exact in uint32:
+    per surviving iteration a column gains lo+hi of a_i*b and of m_i*p,
+    <= 4*(2^16-1), over <= L iterations, plus tiny shifted-down carries), so
+    carry propagation happens ONCE at the end.  The high halves of both
+    per-iteration products are deferred to the next iteration: after the
+    one-column shift-down their natural alignment (columns 1..L) lands at
+    columns 0..L-1, i.e. they add in UNSHIFTED — no roll/iota/select in the
+    loop at all.  m_i needs only the true low 16 bits of the running value,
+    which is acc[0] mod 2^16 (wraparound uint32 products preserve them).
+
+    ~3.5x fewer vector ops than the separated SOS form it replaces
+    (3 full product passes + 3 normalizations); output is the SAME canonical
+    Montgomery representative, so the switch is bit-invisible.  Same
+    contract as before: inputs may be lazy (< 2p) since (2p)^2 < p*R.
+    """
+    if a.ndim < b.ndim:
+        a = jnp.broadcast_to(a, b.shape)
+    elif b.ndim < a.ndim:
+        b = jnp.broadcast_to(b, a.shape)
+    p_col = _c(0)
+    np0 = _BOUND[1, 0:1][..., None]          # (1, 1): N' mod 2^16
+    acc = jnp.zeros(jnp.broadcast_shapes(a.shape, b.shape), U32)
+    zrow = jnp.zeros(acc.shape[:-2] + (1,) + acc.shape[-1:], U32)
+    for i in range(L):
+        t = a[..., i : i + 1, :] * b
+        acc = acc + (t & 0xFFFF)
+        m = (acc[..., 0:1, :] * np0) & 0xFFFF
+        u = m * p_col
+        acc = acc + (u & 0xFFFF)
+        # shift down one column (acc[0] ≡ 0 mod 2^16 by choice of m), then
+        # add the two hi halves: their creation-frame columns 1..L are
+        # exactly 0..L-1 in the post-shift frame
+        carry0 = acc[..., 0:1, :] >> 16
+        acc = jnp.concatenate(
+            [acc[..., 1:2, :] + carry0, acc[..., 2:, :], zrow], axis=-2)
+        acc = acc + (t >> 16) + (u >> 16)
+    cols = jnp.stack([acc, acc + _c(2)])
+    limbs, carry = norm(cols, L)
+    return jnp.where((carry[1] != 0)[..., None, :], limbs[1], limbs[0])
+
+
+def _mul_impl_sos(a, b):
     t_cols = _prod_full(a, _widen(b))
     # m needs only T mod R: normalize the LOW L columns (carries out of
     # column L-1 are irrelevant mod R); U accumulates the RAW t columns
@@ -247,17 +292,60 @@ def pow_bits_ref(a, bits_ref, nbits: int):
     return jax.lax.fori_loop(1, nbits, body, a)
 
 
-def inv(a, pm2_ref, nbits: int):
+def pow_tree(a, bits, sqrfn=None, mulfn=None):
+    """a^e for a STATIC exponent (bits: MSB-first numpy 0/1 array with
+    bits[0] == 1): a fori_loop squaring chain stored to a scoped VMEM
+    scratch, then ONE static stacked product tree over the set-bit powers.
+
+    Value-identical to pow_bits_ref square-and-multiply (the tree reorders
+    a commutative product of exact field elements; outputs stay canonical
+    Montgomery), at ~half the serial depth AND ~30% less work for e = p-2:
+    nbits squarings + ceil(log2(weight)) stacked tree stages replace nbits
+    squarings + nbits multiplies (zero bits paid a discarded multiply, set
+    bits now ride stacked stages).  a^0-input convention: every stored
+    power of 0 is 0, so inv(0) == 0 still holds."""
+    sqrfn = sqrfn or (lambda s: mul(s, s))
+    mulfn = mulfn or mul
+    bits = np.asarray(bits)
+    nbits = len(bits)
+    assert bits[0] == 1, "exponent must have its MSB set"
+    # chain index j holds a^(2^j); set bits of e are at j = nbits-1-k
+    set_pows = [nbits - 1 - k for k in range(nbits) if bits[k]]
+    if len(set_pows) == 1:  # e = 2^(nbits-1): pure squaring chain
+        return jax.lax.fori_loop(0, nbits - 1, lambda i, s: sqrfn(s), a)
+
+    def scoped(sq_ref):
+        def body(i, s):
+            sq_ref[pl.ds(i, 1)] = s[None]
+            return sqrfn(s)
+
+        last = jax.lax.fori_loop(0, nbits - 1, body, a)  # a^(2^(nbits-1))
+        vals = [last if j == nbits - 1 else sq_ref[pl.ds(j, 1)][0]
+                for j in set_pows]
+        while len(vals) > 1:
+            h = len(vals) // 2
+            prod = mulfn(jnp.stack(vals[:h]), jnp.stack(vals[h : 2 * h]))
+            vals = [prod[i] for i in range(h)] + vals[2 * h :]
+        return vals[0]
+
+    return pl.run_scoped(
+        scoped, pltpu.VMEM((nbits - 1,) + a.shape, jnp.uint32))
+
+
+_PM2_BITS_NP = np.array([int(b) for b in bin(FQ.p - 2)[2:]], dtype=np.uint32)
+
+
+def inv(a):
     """Fermat inversion a^(p-2) (Montgomery in, Montgomery out; inv(0)=0).
-    pm2_ref: SMEM bits of p-2, MSB first."""
-    return pow_bits_ref(a, pm2_ref, nbits)
+    Static-exponent pow_tree path: 253 squarings + a 110-leaf product tree."""
+    return pow_tree(a, _PM2_BITS_NP)
 
 
-def fq2_inv(a, pm2_ref, nbits: int):
+def fq2_inv(a):
     """Fq2 inversion via the norm map (one Fq Fermat inversion)."""
     a0, a1 = a[..., 0, :, :], a[..., 1, :, :]
     sq = mul(jnp.stack([a0, a1]), jnp.stack([a0, a1]))
-    ninv = inv(add(sq[0], sq[1]), pm2_ref, nbits)
+    ninv = inv(add(sq[0], sq[1]))
     return jnp.stack([mul(a0, ninv), neg(mul(a1, ninv))], axis=-3)
 
 

@@ -95,7 +95,6 @@ def test_fexp_tower_ops_vs_tower(rng):
     bt = jnp.transpose(b, (1, 2, 3, 4, 0))
     consts = jnp.asarray(tmul.CONSTS_NP)
     frob = jnp.asarray(PF.FROB_NP)
-    pm2 = jnp.asarray(PF._PM2_BITS)
     S = (2, 3, 2, FQ.L, B)
 
     def run(kfn, *args):
@@ -111,9 +110,9 @@ def test_fexp_tower_ops_vs_tower(rng):
         with tmul.bound_consts(c[:]):
             o[:] = PF.fq12_mul(f[:], g[:])
 
-    def k_inv(c, p2, f, o):
+    def k_inv(c, f, o):
         with tmul.bound_consts(c[:]):
-            o[:] = PF.fq12_inv(f[:], p2)
+            o[:] = PF.fq12_inv(f[:])
 
     def k_cyclo(c, f, o):
         with tmul.bound_consts(c[:]):
@@ -122,7 +121,7 @@ def test_fexp_tower_ops_vs_tower(rng):
     got = back(run(k_mul, consts, at, bt))
     assert (np.asarray(got) == np.asarray(T.fq12_mul(a, b))).all()
 
-    got = back(run(k_inv, consts, pm2, at))
+    got = back(run(k_inv, consts, at))
     assert (np.asarray(got) == np.asarray(T.fq12_inv(a))).all()
 
     for k in (1, 2, 3):
@@ -198,8 +197,7 @@ def test_fold_kernels_interpret():
             scratch_shapes=[pltpu.VMEM(
                 (3,) + coeff_shape + (pf.L, 8), jnp.uint32)],
             interpret=True,
-        )(jnp.asarray(pf.t.CONSTS_NP), jnp.asarray(pf._PM2_BITS),
-          jnp.asarray(xb), off, base)
+        )(jnp.asarray(pf.t.CONSTS_NP), jnp.asarray(xb), off, base)
 
     for grp, a1, a2, kern, cs, td, ti in (
         (G1, A, A2, pf._K_G1, (), (1, 2, 0), (2, 0, 1)),
