@@ -46,8 +46,11 @@ _TWF_Y = T.fq2_encode(hostref.TWIST_FROB_Y)
 MILLER_CHUNK = 1024
 # Fused-Pallas Miller chunk: the per-step kernel's VMEM working set caps the
 # lane count at 128 on v5e (256+ fails Mosaic compile; measured 2.8x faster
-# than the XLA scan at 128 lanes).
-MILLER_FUSED_CHUNK = 128
+# than the XLA scan at 128 lanes).  The WHOLE-LOOP kernel scales further
+# (scoped VMEM ~21.4 MB at 128 lanes, limit raised to 100 MB), so the chunk
+# is overridable for n >= 256 workloads: SIPP_MILLER_CHUNK=256/512 amortizes
+# the per-launch fixed cost over more lanes (NOTES_NEXT.md perf item 1).
+MILLER_FUSED_CHUNK = int(os.environ.get("SIPP_MILLER_CHUNK", "128"))
 
 
 def _fused_ok():
