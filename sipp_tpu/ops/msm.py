@@ -15,6 +15,7 @@ Sharded use: msm composes with shard_map — per-shard partial sums then a
 cross-device gathered tree (see parallel/sharded.py patterns).
 """
 
+import jax
 import jax.numpy as jnp
 
 from ..curves import G1, G2
@@ -49,3 +50,92 @@ def msm_g1(points_aff, bits):
 
 def msm_g2(points_aff, bits):
     return msm(G2, points_aff, bits)
+
+
+# --------------------------------------------------- fixed-window bucket MSM
+
+def _segment_scan_points(curve, keys, jac):
+    """Inclusive segmented-sum scan over SORTED int keys: position i holds
+    the Jacobian sum of all points j <= i with keys[j] == keys[i].
+
+    TPU-first formulation of Pippenger's bucket accumulation: instead of n
+    serial data-dependent bucket updates (the GPU/CPU layout), sort once and
+    run one log2(n)-depth associative scan whose every level is an n-wide
+    batched complete addition.  The segmented-sum combine is associative on
+    contiguous ranges of a sorted key sequence, which is exactly what
+    lax.associative_scan forms."""
+
+    def combine(a, b):
+        ka, pa = a
+        kb, pb = b
+        merged = curve.add(pa, pb)
+        same = curve._expand_pt(ka == kb)
+        return kb, jnp.where(same, merged, pb)
+
+    _, out = jax.lax.associative_scan(combine, (keys, jac))
+    return out
+
+
+def msm_bucket(curve, points_aff, bits, c: int = 8):
+    """sum_i [k_i] P_i via fixed-window buckets (the north-star "bucket MSM"
+    formulation; reference analogue: the starky exp statements' batched
+    scalar-mul workloads, SURVEY.md D7/P4).
+
+    Per window: c-bit digits -> argsort -> gathered points -> segmented-scan
+    bucket sums -> scatter to 2^c buckets -> suffix associative scan (the
+    sum_k k*B_k identity) -> one tree sum.  Windows combine by Horner with c
+    batched doublings per window.  Every stage is a wide batched curve op or
+    a log-depth scan; nothing serializes over n.
+
+    Work is n*log(n)*W complete adds + W*2^c scan adds, vs the ladder msm()'s
+    254*n; the crossover favors buckets once n >> 2^c (the multi-million-point
+    regime); for SIPP-sized n the ladder remains the default.  Sharded use:
+    per-shard buckets over local points, then a cross-device gather + tree
+    merge of the 2^c bucket points per window (EC addition is not an integer
+    psum; the collective moves W*2^c points regardless of n).
+
+    points_aff: (n, ...) affine; bits: (254, n) MSB-first.  Jacobian result.
+    Bit-compatible with msm(): same group element (tested differentially).
+    """
+    nbits, n = bits.shape
+    w = -(-nbits // c)  # windows, MSB-first; first window may be short
+    pad = w * c - nbits
+    if pad:
+        bits = jnp.concatenate([jnp.zeros((pad, n), bits.dtype), bits], 0)
+    digits = jnp.zeros((w, n), jnp.int32)
+    for j in range(c):
+        digits = (digits << 1) + bits[j::c].astype(jnp.int32)
+
+    acc = curve.jac_infinity(())
+
+    def window(acc, dig):
+        perm = jnp.argsort(dig)
+        d_s = dig[perm]
+        jac = curve.jac_from_affine(points_aff[perm])
+        # zero-digit lanes contribute nothing: mask them to infinity so the
+        # scan and the bucket-0 slot both stay inert
+        jac = jnp.where(curve._expand_pt(d_s == 0), jnp.zeros_like(jac), jac)
+        sums = _segment_scan_points(curve, d_s, jac)
+        is_end = jnp.concatenate(
+            [d_s[1:] != d_s[:-1], jnp.ones((1,), bool)], 0)
+        idx = jnp.where(is_end, d_s, 1 << c)  # out-of-range -> dropped
+        buckets = curve.jac_infinity((1 << c,))
+        buckets = buckets.at[idx].set(sums, mode="drop")
+        # T = sum_{k>=1} k * B_k = sum of suffix sums over buckets[1:]
+        suffix = jax.lax.associative_scan(
+            curve.add, buckets[1:], reverse=True)
+        t_w = _tree_sum(curve, suffix)
+        for _ in range(c):
+            acc = curve.dbl(acc)
+        return curve.add(acc, t_w), None
+
+    acc, _ = jax.lax.scan(window, acc, digits)
+    return acc
+
+
+def msm_bucket_g1(points_aff, bits, c: int = 8):
+    return msm_bucket(G1, points_aff, bits, c)
+
+
+def msm_bucket_g2(points_aff, bits, c: int = 8):
+    return msm_bucket(G2, points_aff, bits, c)

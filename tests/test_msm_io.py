@@ -35,6 +35,37 @@ def test_msm_g2(rng):
     assert got == [want]
 
 
+def test_msm_bucket_g1(rng):
+    """Bucket MSM == ladder MSM == host oracle (incl. duplicate digits,
+    zero scalar, and a small window width exercising many windows)."""
+    from sipp_tpu.ops.msm import msm_bucket_g1
+
+    n = 6
+    A, _ = random_points(n, seed=47)
+    ks = [int.from_bytes(rng.bytes(40), "little") % params.R
+          for _ in range(n - 1)] + [0]
+    got = C.g1_decode(C.G1.to_affine(
+        msm_bucket_g1(C.g1_encode(A), _bits(ks), c=4)[None]))[0]
+    want = None
+    for p, k in zip(A, ks):
+        want = H.g1_add(want, H.g1_mul(p, k))
+    assert got == want
+
+
+def test_msm_bucket_g2(rng):
+    from sipp_tpu.ops.msm import msm_bucket_g2
+
+    n = 3
+    _, B = random_points(n, seed=53)
+    ks = [int.from_bytes(rng.bytes(40), "little") % params.R for _ in range(n)]
+    got = C.g2_decode(C.G2.to_affine(
+        msm_bucket_g2(C.g2_encode(B), _bits(ks), c=8)[None]))
+    want = None
+    for p, k in zip(B, ks):
+        want = H.g2_add(want, H.g2_mul(p, k))
+    assert got == [want]
+
+
 def test_proof_io_roundtrip(tmp_path):
     from sipp_tpu import io
     from sipp_tpu.protocol import sipp_prove, sipp_verify
