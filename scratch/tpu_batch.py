@@ -20,10 +20,20 @@ import jax.numpy as jnp
 
 log("devices:", jax.devices())
 
-from sipp_tpu.pairing import pairing as pairing_mod
+from sipp_tpu.pairing import ate as pairing_mod
 from sipp_tpu.pairing import inner_product as inner
 from sipp_tpu.utils.testing import random_instance
 
+
+
+def set_chunk(c):
+    """Change the fused-Miller lane chunk AND drop stale jit executables:
+    _inner_f/_inner_z_fused are cached per input shape, so without the cache
+    clear a chunk change silently reuses the previous chunk's executable."""
+    pairing_mod.MILLER_FUSED_CHUNK = c
+    pairing_mod._inner_f.clear_cache()
+    pairing_mod._inner_z_fused.clear_cache()
+    pairing_mod._round_zs_fused.clear_cache()
 
 def timed(fn, reps=10):
     out = fn()
@@ -75,7 +85,7 @@ print(f"n=4096 chunk=128: {dt*1e3:.1f} ms  ({4096/dt:.0f} pairings/s)", flush=Tr
 
 # ---- 4. n=4096 chunk=256 ----
 section("bench n=4096 chunk=256")
-pairing_mod.MILLER_FUSED_CHUNK = 256
+set_chunk(256)
 try:
     t0 = time.time()
     z = inner(a4k, b4k)
@@ -87,11 +97,11 @@ try:
 except Exception as e:
     print("chunk=256 FAILED:", repr(e)[:800], flush=True)
 finally:
-    pairing_mod.MILLER_FUSED_CHUNK = 128
+    set_chunk(128)
 
 # ---- 5. n=512 at chunk 128 vs 512 (smaller compile than 4096 path?) ----
 section("bench n=512 chunk=512")
-pairing_mod.MILLER_FUSED_CHUNK = 512
+set_chunk(512)
 a512, b512 = random_instance(512, seed=3)
 try:
     t0 = time.time()
@@ -104,6 +114,6 @@ try:
 except Exception as e:
     print("chunk=512 FAILED:", repr(e)[:800], flush=True)
 finally:
-    pairing_mod.MILLER_FUSED_CHUNK = 128
+    set_chunk(128)
 
 print(f"\n=== tpu_batch done in {time.time()-t_start:.0f}s ===", flush=True)

@@ -73,8 +73,22 @@ def g1_encode(points):
     return jnp.asarray(arr)
 
 
+def _decode_fq_ints(arr):
+    """(..., L) Montgomery device array -> flat list of canonical ints, pure
+    host path: ONE transfer, bulk byte repack, one 256-bit modmul per element
+    (no per-shape device program, no per-limb Python loop) — this is the
+    serial-spine prologue decode, sized for n = 65536 (SURVEY.md §2.4.4)."""
+    import jax
+    from ..fields import bigint
+
+    np_arr = np.asarray(jax.device_get(arr))
+    vals = bigint.limbs16_to_ints_fast(np_arr)
+    rinv = pow(F.R, -1, F.p)
+    return [(v * rinv) % F.p for v in vals]
+
+
 def g1_decode(arr):
-    flat = F.decode(arr.reshape(-1, F.L))
+    flat = _decode_fq_ints(arr.reshape(-1, F.L))
     pts = np.array(flat, dtype=object).reshape(arr.shape[:-1])
 
     def rec(x):
@@ -103,7 +117,8 @@ def g2_encode(points):
 
 
 def g2_decode(arr):
-    vals = tower.fq2_decode(arr.reshape(-1, 2, F.L))
+    flat = _decode_fq_ints(arr.reshape(-1, F.L))
+    vals = [(flat[i], flat[i + 1]) for i in range(0, len(flat), 2)]
     out = []
     for i in range(0, len(vals), 2):
         x, y = vals[i], vals[i + 1]

@@ -46,6 +46,29 @@ def limbs_to_ints(arr) -> list:
     return [limbs_to_ints(a) for a in arr]
 
 
+def limbs16_to_ints_fast(arr) -> list:
+    """(..., L) uint32 array of 16-bit limbs -> FLAT list of Python ints.
+
+    Vectorized via one tobytes() + int.from_bytes per element (no per-limb
+    Python shifts): the config-5 prologue decodes ~4*10^5 Fq elements, where
+    the per-limb loop of limbs_to_ints costs minutes and this costs ~100 ms.
+    """
+    a = np.ascontiguousarray(np.asarray(arr, dtype=np.uint32).astype("<u2"))
+    flat = a.reshape(-1, a.shape[-1])
+    w = flat.shape[-1] * 2
+    buf = flat.tobytes()
+    return [int.from_bytes(buf[i * w:(i + 1) * w], "little")
+            for i in range(flat.shape[0])]
+
+
+def ints_to_u32x8_array(vals) -> np.ndarray:
+    """ints < 2^256 -> (len(vals), 8) uint64 array of little-endian u32
+    digits — the transcript element encoding (transcript_native.rs:68-77),
+    built in bulk for the 2n-append prologue."""
+    b = b"".join(v.to_bytes(32, "little") for v in vals)
+    return np.frombuffer(b, dtype="<u4").reshape(len(vals), 8).astype(np.uint64)
+
+
 def int_to_u32_digits(x: int, num_digits: int) -> list:
     """Python int -> fixed-length little-endian u32 digit list (wire format,
     reference transcript_native.rs:68-77: 8 u32 digits per Fq)."""

@@ -59,8 +59,14 @@ class Fp:
         self.zero_limbs = jnp.zeros((L,), U32)
         self.one_mont = self.const(1)
         self.r2_limbs = jnp.asarray(bigint.int_to_limbs(self.R2, L))
-        # R - p as limbs (for fused conditional-subtract normalization)
+        # R - p as limbs (for fused conditional-subtract normalization), plus
+        # the 2L-column prepadded form (R-p) << 16L used inside the Montgomery
+        # reduction — a plain broadcast add, never a scatter (XLA:CPU
+        # miscompiles jitted .at[].add on >=3-d batches on some hosts).
         self.rp_arr = jnp.asarray(bigint.int_to_limbs(self.R - p, L))
+        self.rp_full_arr = jnp.asarray(
+            np.concatenate([np.zeros(L, np.uint32),
+                            np.asarray(bigint.int_to_limbs(self.R - p, L))]))
 
     # ---------------------------------------------------------------- helpers
 
@@ -99,52 +105,12 @@ class Fp:
 
     # Limb-level primitives -------------------------------------------------
 
-    def _normalize(self, cols, num_out: int):
-        """Exact carry propagation in log depth (carry-lookahead).
-
-        cols: (..., K) uint32 column values, each < 2^31 (so per-column carry
-        fits 15 bits).  Returns (limbs (..., num_out) each < 2^16, carry_out).
-        Uses an associative generate/propagate prefix scan instead of a
-        sequential ripple chain: ~log2(L) vectorized rounds, which keeps both
-        the HLO graph and the VPU dependency depth shallow.
-
-        Derivation: with t_k = cols[k], r_k = t_k & M, b_k = t_k >> 16, the
-        carry recurrence c_{k+1} = (t_k + c_k) >> 16 splits into
-        c_k = b_{k-1} + e_{k-1} with e_k in {0,1}:
-        e_k = [u_k >= 2^16] OR ([u_k == 2^16 - 1] AND e_{k-1}),
-        u_k = r_k + b_{k-1} — a standard carry-lookahead on (g, p) pairs.
-        """
-        K = cols.shape[-1]
-        M = U32(0xFFFF)
-        if K < num_out:
-            pad = [(0, 0)] * (cols.ndim - 1) + [(0, num_out - K)]
-            cols = jnp.pad(cols, pad)
-        t = cols[..., :num_out]
-        r = t & M
-        b = t >> 16
-        zero = jnp.zeros_like(b[..., :1])
-        b_shift = jnp.concatenate([zero, b[..., :-1]], axis=-1)
-        u = r + b_shift
-        g = u >> 16                      # in {0, 1}
-        p = (u == M).astype(U32)
-
-        def comb(first, second):
-            g1, p1 = first
-            g2, p2 = second
-            return (g2 | (p2 & g1), p1 & p2)
-
-        e, _ = jax.lax.associative_scan(comb, (g, p), axis=-1)
-        e_shift = jnp.concatenate([zero, e[..., :-1]], axis=-1)
-        c = b_shift + e_shift
-        limbs = (r + c) & M
-        carry = b[..., -1] + e[..., -1]
-        return limbs, carry
-
     def _normalize_mosaic(self, cols, num_out: int):
-        """Mosaic-safe twin of _normalize for Pallas kernels: the shifted-
-        carry-lookahead is built from pltpu.roll + iota masks (Kogge-Stone),
-        avoiding the concatenate/associative_scan constructs Mosaic cannot
-        lower (see ops/pallas_fq.py).  Bit-identical results."""
+        """Mosaic-safe twin of _normalize for Pallas kernels: a Kogge-Stone
+        carry-lookahead built from pltpu.roll + iota masks (log-depth inside
+        the kernel, where the sequential chain would serialize the VPU),
+        avoiding constructs Mosaic cannot lower (see ops/pallas_fq.py).
+        Bit-identical results to the sequential _normalize below."""
         from jax.experimental.pallas import tpu as pltpu
 
         M = U32(0xFFFF)
@@ -307,10 +273,10 @@ class Fp:
         # (R-p) << 16L, whose carry-out flags result >= p.
         u_cols = self._prod_cols(m_limbs, p_arr, use_reduce=use_reduce)
         u_cols = u_cols + t_limbs  # t_limbs are normalized 16-bit limbs
-        if use_reduce:
-            u2 = u_cols.at[..., L:].add(self.rp_arr)
-        else:  # Pallas: no scatter-add — add the host-prepadded constant
-            u2 = u_cols + rp_full
+        # Add (R-p) << 16L as a prepadded 2L-wide constant (broadcast add;
+        # the previous .at[..., L:].add scatter miscompiled under jit on
+        # XLA:CPU for >=3-d batch shapes on some hosts).
+        u2 = u_cols + (rp_full if consts is not None else self.rp_full_arr)
         cols = jnp.stack([u_cols, u2])
         u_limbs, carry = norm(cols, 2 * L)
         return jnp.where(

@@ -187,14 +187,22 @@ def hash_no_pad(inputs) -> list:
 
 def transcript_absorb(state4, msgs) -> list:
     """Run the hash chain over a list of messages natively."""
-    lib = get_lib()
-    st = np.asarray(state4, dtype=np.uint64).copy()
     flat = np.asarray([x for m in msgs for x in m], dtype=np.uint64)
     lens = np.asarray([len(m) for m in msgs], dtype=np.uintp)
+    return transcript_absorb_flat(state4, flat, lens)
+
+
+def transcript_absorb_flat(state4, flat, lens) -> list:
+    """Hash chain over pre-flattened message elements (bulk prologue path):
+    flat: (sum(lens),) uint64; lens: (num_msgs,) uintp."""
+    lib = get_lib()
+    st = np.asarray(state4, dtype=np.uint64).copy()
+    flat = np.ascontiguousarray(flat, dtype=np.uint64)
+    lens = np.ascontiguousarray(lens, dtype=np.uintp)
     lib.sipp_transcript_absorb(
         st.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_size_t)),
-        len(msgs),
+        len(lens),
     )
     return [int(x) for x in st]

@@ -82,20 +82,23 @@ def msm_bucket(curve, points_aff, bits, c: int = 8):
     scalar-mul workloads, SURVEY.md D7/P4).
 
     Per window: c-bit digits -> argsort -> gathered points -> segmented-scan
-    bucket sums -> scatter to 2^c buckets -> suffix associative scan (the
-    sum_k k*B_k identity) -> one tree sum.  Windows combine by Horner with c
-    batched doublings per window.  Every stage is a wide batched curve op or
-    a log-depth scan; nothing serializes over n.
+    bucket sums -> segment-end gather into 2^c buckets -> suffix associative
+    scan (the sum_k k*B_k identity) -> one tree sum.  Windows combine by
+    Horner with c batched doublings per window.  Every stage is a wide
+    batched curve op or a log-depth scan; nothing serializes over n.
 
-    Work is n*log(n)*W complete adds + W*2^c scan adds, vs the ladder msm()'s
-    254*n; the crossover favors buckets once n >> 2^c (the multi-million-point
-    regime); for SIPP-sized n the ladder remains the default.  Sharded use:
-    per-shard buckets over local points, then a cross-device gather + tree
-    merge of the 2^c bucket points per window (EC addition is not an integer
-    psum; the collective moves W*2^c points regardless of n).
+    Cost honesty: this scan formulation does MORE work than the ladder at
+    scale — W*n*log2(n) complete adds (W = ceil(254/c) windows) vs the
+    ladder's ~2*254*n, so the ladder wins whenever log2(n) > ~16/W-adjusted,
+    i.e. for every n this framework targets — and its serial depth
+    W*(log2(n) + c + 2^c-suffix) also exceeds the ladder's 254 at large n.
+    It exists as the semantics anchor for the Pippenger formulation (exact
+    bucket/window decomposition, oracle-tested) that the per-shard-bucket
+    Pallas variant described in the module header would implement for the
+    n >> 10^6 multi-host regime; msm() remains the production path.
 
     points_aff: (n, ...) affine; bits: (254, n) MSB-first.  Jacobian result.
-    Bit-compatible with msm(): same group element (tested differentially).
+    Same group element as msm() (differential test in tests/test_msm_io.py).
     """
     nbits, n = bits.shape
     w = -(-nbits // c)  # windows, MSB-first; first window may be short
@@ -116,14 +119,17 @@ def msm_bucket(curve, points_aff, bits, c: int = 8):
         # scan and the bucket-0 slot both stay inert
         jac = jnp.where(curve._expand_pt(d_s == 0), jnp.zeros_like(jac), jac)
         sums = _segment_scan_points(curve, d_s, jac)
-        is_end = jnp.concatenate(
-            [d_s[1:] != d_s[:-1], jnp.ones((1,), bool)], 0)
-        idx = jnp.where(is_end, d_s, 1 << c)  # out-of-range -> dropped
-        buckets = curve.jac_infinity((1 << c,))
-        buckets = buckets.at[idx].set(sums, mode="drop")
-        # T = sum_{k>=1} k * B_k = sum of suffix sums over buckets[1:]
-        suffix = jax.lax.associative_scan(
-            curve.add, buckets[1:], reverse=True)
+        # Segment-end GATHER (scatter-free: jitted dynamic scatters miscompile
+        # on some XLA:CPU hosts — see fields/fp.py Montgomery reduction note):
+        # keys are sorted, so searchsorted(right)-1 is the last index of each
+        # bucket's segment, where the inclusive scan holds the full sum.
+        ks = jnp.arange(1, 1 << c)
+        pos = jnp.clip(jnp.searchsorted(d_s, ks, side="right") - 1, 0, n - 1)
+        hit = jnp.take(d_s, pos) == ks
+        buckets = jnp.where(curve._expand_pt(hit), jnp.take(sums, pos, axis=0),
+                            curve.jac_infinity((ks.shape[0],)))
+        # T = sum_{k>=1} k * B_k = sum of suffix sums over buckets (k=1..2^c-1)
+        suffix = jax.lax.associative_scan(curve.add, buckets, reverse=True)
         t_w = _tree_sum(curve, suffix)
         for _ in range(c):
             acc = curve.dbl(acc)

@@ -51,7 +51,7 @@ _X_BITS = np.array([int(b) for b in bin(params.X)[2:]], dtype=np.uint32)
 
 
 def _tape():
-    from ..pairing.pairing import _TAPE
+    from ..pairing.ate import _TAPE
     return _TAPE
 
 

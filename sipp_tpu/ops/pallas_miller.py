@@ -285,7 +285,7 @@ def miller_product_fused(p_aff, q_aff, interpret: bool = False):
     Bit-identical to _product_tree(miller_loop(...)) — differentially
     tested (the product order of the lane hypercube equals the halving
     tree's: both multiply index i with i + B/2^k at level k)."""
-    from ..pairing.pairing import _DIGITS
+    from ..pairing.ate import _DIGITS
 
     B = p_aff.shape[0]
     assert B & (B - 1) == 0 and B <= 512

@@ -1,4 +1,4 @@
-from .pairing import (  # noqa: F401
+from .ate import (  # noqa: F401
     final_exp,
     inner_product,
     miller_loop,

@@ -37,7 +37,7 @@ from .. import curves, params
 from ..curves import G1, G2, scalar_to_bits
 from ..fields import tower
 from ..pairing import miller_loop
-from ..pairing.pairing import _product_tree
+from ..pairing.ate import _product_tree
 from ..protocol.transcript import Transcript
 
 
@@ -72,14 +72,22 @@ def _round_kernels(mesh: Mesh):
     rep = P(*([None] * 4))                     # replicated fq12 (2,3,2,L)
 
     def cross_products(a, b):
-        """Local Z_L/Z_R partial Miller products + exact cross-device tree."""
+        """Local Z_L/Z_R partial Miller products + exact cross-device tree.
+
+        Both cross products run in ONE 2m-lane Miller scan (lanes 0..m-1 =
+        (A_hi, B_lo), lanes m.. = (A_lo, B_hi)) instead of two m-lane scans:
+        one scan body in the program (half the XLA compile) and one wide
+        dispatch (better VPU utilization) per round."""
         a, b = a[:, 0], b[:, 0]
         m = a.shape[0] // 2
-        f_l = _product_tree(miller_loop(a[m:], b[:m]))
-        f_r = _product_tree(miller_loop(a[:m], b[m:]))
-        f = jax.lax.all_gather(jnp.stack([f_l, f_r]), "i")   # (d, 2, 2,3,2,L)
-        z_l = _product_tree(f[:, 0])
-        z_r = _product_tree(f[:, 1])
+        aa = jnp.concatenate([a[m:], a[:m]], 0)
+        bb = jnp.concatenate([b[:m], b[m:]], 0)
+        f = miller_loop(aa, bb)
+        f_l = _product_tree(f[:m])
+        f_r = _product_tree(f[m:])
+        fg = jax.lax.all_gather(jnp.stack([f_l, f_r]), "i")  # (d, 2, 2,3,2,L)
+        z_l = _product_tree(fg[:, 0])
+        z_r = _product_tree(fg[:, 1])
         return z_l, z_r
 
     def full_product(a, b):
@@ -113,6 +121,32 @@ def _round_kernels(mesh: Mesh):
     }
 
 
+def precompile_round(mesh: Mesh, a, b, bits):
+    """AOT-compile the four per-round shard_map programs IN PARALLEL threads
+    (XLA compilation releases the GIL, so a 4-core host compiles all four
+    concurrently — the cold-start cost becomes max(program) instead of
+    sum(programs)).  Returns {name: compiled executable}; also populates the
+    persistent compile cache for the jit call path.
+
+    a, b: already cyclic-sharded (n/d, d, ...) arrays; bits: (254,) uint32.
+    """
+    import concurrent.futures as cf
+
+    k = _round_kernels(mesh)
+    argv = {
+        "z": (k["z"], (a, b)),
+        "cross": (k["cross"], (a, b)),
+        "fold_a": (k["fold_a"], (a, bits)),
+        "fold_b": (k["fold_b"], (b, bits)),
+    }
+    with cf.ThreadPoolExecutor(max_workers=len(argv)) as ex:
+        futs = {
+            name: ex.submit(lambda f=f, args=args: f.lower(*args).compile())
+            for name, (f, args) in argv.items()
+        }
+        return {name: fut.result() for name, fut in futs.items()}
+
+
 def sipp_prove_sharded(a_g1, b_g2, mesh: Mesh):
     """Sharded SIPP prover; bit-identical output to protocol.sipp_prove.
 
@@ -132,7 +166,7 @@ def sipp_prove_sharded(a_g1, b_g2, mesh: Mesh):
     a = shard_cyclic(a_g1, mesh)
     b = shard_cyclic(b_g2, mesh)
 
-    from ..pairing.pairing import final_exp_host
+    from ..pairing.ate import final_exp_host
 
     z = final_exp_host(k["z"](a, b))
     proof = [z]

@@ -30,7 +30,7 @@ import numpy as np
 from .. import curves, native, params
 from ..curves import G1, G2, scalar_to_bits
 from ..fields import tower
-from ..pairing.pairing import (_fused_ok, _inner_f, _inner_z_fused,
+from ..pairing.ate import (_fused_ok, _inner_f, _inner_z_fused,
                                _round_zs_fused, final_exp, final_exp_host_np)
 from .transcript import Transcript
 
@@ -141,36 +141,54 @@ def _bits_msb(fr_limbs):
     return (fr_limbs[..., idx] >> sh.astype(jnp.uint32)) & 1
 
 
+def _final_exp_dev(f):
+    """Batched final exp for the on-chip prover: the fused Pallas kernel on
+    TPU, the (bit-identical) XLA graph elsewhere — so the fully on-device
+    prover control flow (device transcript, challenge, Fr inversion, scanned
+    rounds) is testable on the CPU suite."""
+    if _fused_ok():
+        from ..ops import pallas_fexp
+
+        return pallas_fexp.final_exp_fused(f)
+    return final_exp(f)
+
+
+def _fold_dev(a_lo, a_hi, b_lo, b_hi, xbits, xinvbits):
+    if _fused_ok():
+        from ..ops import pallas_fold
+
+        return (pallas_fold.fold_g1_fused(a_lo, a_hi, xbits),
+                pallas_fold.fold_g2_fused(b_lo, b_hi, xinvbits))
+    return _fold_halves(a_lo, a_hi, b_lo, b_hi, xbits, xinvbits)
+
+
 def _round_body_onchip(a, b, state, m):
     """One fold round ENTIRELY on device: cross Miller products, B=2 final
     exp, transcript appends, challenge, Fr inversion (Fermat over r-2), and
     both fold ladders.  Bit-identical to the host-sync round: the device
     transcript reproduces the host hash chain and digit quirk exactly."""
     from ..fields import FR
-    from ..ops import pallas_fexp, pallas_fold
     from . import transcript_device as td
 
     a_lo, a_hi = _halves(a, m)
     b_lo, b_hi = _halves(b, m)
     fl = _inner_f(a_hi, b_lo, None)
     fr_ = _inner_f(a_lo, b_hi, None)
-    zs = pallas_fexp.final_exp_fused(jnp.stack([fl, fr_]))
+    zs = _final_exp_dev(jnp.stack([fl, fr_]))
     state = td.append_fq12(state, zs[0])
     state = td.append_fq12(state, zs[1])
     xbits, x_fr = td.get_challenge(state)
     xinv = FR.from_mont(FR.inv(FR.to_mont(x_fr)))
-    a2 = pallas_fold.fold_g1_fused(a_lo, a_hi, xbits)
-    b2 = pallas_fold.fold_g2_fused(b_lo, b_hi, _bits_msb(xinv))
+    a2, b2 = _fold_dev(a_lo, a_hi, b_lo, b_hi, xbits, _bits_msb(xinv))
     return a2, b2, state, zs
 
 
 @jax.jit
 def _z_onchip(a, b, state):
     """Initial Z = FE(prod e(A_i, B_i)) + its transcript append, on device."""
-    from ..ops import pallas_fexp
     from . import transcript_device as td
 
-    z = pallas_fexp.final_exp_fused(_inner_f(a, b, None)[None])[0]
+    z = _final_exp_dev(_inner_f(a, b, None)[None])[0]
     return z, td.append_fq12(state, z)
 
 

@@ -100,7 +100,30 @@ class Transcript:
         self.append(fq12_to_elements(f))
 
     def append_points(self, a_pts, b_pts):
-        """Interleaved (A_i, B_i) prologue (prover_native.rs:36-39)."""
+        """Interleaved (A_i, B_i) prologue (prover_native.rs:36-39).
+
+        With the native engine, the 2n message encodings are built as ONE
+        bulk u32-digit array (no per-element Python digit lists) and absorbed
+        in a single C++ call — the config-5 prologue (n = 65536) hashes in
+        seconds instead of minutes.
+        """
+        if self._native is not None and len(a_pts) > 16:
+            import numpy as np
+
+            from ..fields import bigint
+
+            coords = []
+            for a, b in zip(a_pts, b_pts):
+                x, y = a if a is not None else (0, 0)
+                ((x0, x1), (y0, y1)) = b if b is not None else \
+                    ((0, 0), (0, 0))
+                coords += [x, y, x0, x1, y0, y1]
+            digits = bigint.ints_to_u32x8_array(coords)  # (6n, 8)
+            flat = digits.reshape(-1)                    # row-major == msg order
+            lens = np.tile(np.asarray([16, 32], np.uintp), len(a_pts))
+            self.state = self._native.transcript_absorb_flat(
+                self.state, flat, lens)
+            return
         msgs = []
         for a, b in zip(a_pts, b_pts):
             msgs.append(g1_to_elements(a))

@@ -57,7 +57,7 @@ def sipp_verify(a_g1, b_g2, proof) -> SIPPStatement:
     if not use_native:
         z_dev = proof[len(proof) - 1]
 
-    from ..pairing.pairing import _fused_ok
+    from ..pairing.ate import _fused_ok
     from .prover import (_floor, _fold_halves, _fold_round_fused,
                          _fold_rounds_scan, _halves)
 
@@ -129,7 +129,7 @@ def sipp_verify(a_g1, b_g2, proof) -> SIPPStatement:
     # program width with infinity in the dead lanes (contribute 1), so this
     # reuses the SAME compiled inner-product program as the prover's rounds;
     # the comparison happens on host ints.
-    from ..pairing.pairing import (_fused_ok, _inner_f, _inner_z_fused,
+    from ..pairing.ate import (_fused_ok, _inner_f, _inner_z_fused,
                                    final_exp, final_exp_host_np)
 
     if _fused_ok():

@@ -17,6 +17,15 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# A sitecustomize may have already registered a TPU plugin AND set the
+# jax_platforms *config* (which wins over the env var) at interpreter start;
+# override the config as well, before any backend initializes.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert len(jax.devices()) >= 8, jax.devices()
+
 import numpy as np
 import pytest
 

@@ -7,7 +7,7 @@ from sipp_tpu import hostref as H, params
 from sipp_tpu import curves as C
 from sipp_tpu.fields import tower as T
 from sipp_tpu.pairing import final_exp, inner_product, miller_loop, pairing
-from sipp_tpu.pairing.pairing import final_exp_naive
+from sipp_tpu.pairing.ate import final_exp_naive
 from sipp_tpu.utils.testing import random_points
 
 
@@ -49,7 +49,7 @@ def test_cyclo_sqr_and_mul_line(rng):
     assert (np.asarray(T.fq12_cyclo_sqr(g))
             == np.asarray(T.fq12_mul(g, g))).all()
     assert (np.asarray(T.fq12_sqr(g)) == np.asarray(T.fq12_mul(g, g))).all()
-    from sipp_tpu.pairing.pairing import _sparse12
+    from sipp_tpu.pairing.ate import _sparse12
     a, b, c = g[:, 0, 0], g[:, 0, 1], g[:, 0, 2]
     assert (np.asarray(T.fq12_mul_line(g, a, b, c))
             == np.asarray(T.fq12_mul(g, _sparse12(a, b, c)))).all()

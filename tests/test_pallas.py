@@ -84,7 +84,7 @@ def test_fexp_tower_ops_vs_tower(rng):
     bit-exact vs final_exp); whole-kernel interpret execution of its ~18k
     sequential Fq muls is too slow for the suite."""
     from sipp_tpu.ops import pallas_fexp as PF
-    from sipp_tpu.pairing.pairing import _easy_part
+    from sipp_tpu.pairing.ate import _easy_part
 
     B = 4
     xs = [int.from_bytes(rng.bytes(40), "little") % FQ.p
@@ -155,7 +155,7 @@ slow = pytest.mark.skipif(
 def test_miller_loop_fused_interpret():
     """Whole fused-Pallas Miller loop == XLA Miller loop, bit-exact (covers
     fq12 sqr/mul_line, dbl/add steps, and the digit conditional)."""
-    from sipp_tpu.pairing.pairing import miller_loop, miller_loop_fused
+    from sipp_tpu.pairing.ate import miller_loop, miller_loop_fused
     from sipp_tpu.utils.testing import random_instance
 
     A, B = random_instance(2, seed=3)
@@ -217,7 +217,7 @@ def test_miller_product_fused_interpret():
     """Whole-loop+product-tree kernel == _product_tree(miller_loop), incl.
     infinity-lane masking and the Frobenius tail, bit-exact."""
     from sipp_tpu.ops.pallas_miller import miller_product_fused
-    from sipp_tpu.pairing.pairing import _product_tree, miller_loop
+    from sipp_tpu.pairing.ate import _product_tree, miller_loop
     from sipp_tpu.utils.testing import random_instance
 
     A, B = random_instance(8, seed=11)

@@ -99,3 +99,32 @@ def test_append_order_matters(rng):
     c = TR.Transcript()
     c.append([1, 2])
     assert c.state != a.state
+
+
+# --------------------------------------------------------- golden vectors
+
+def test_golden_vectors_pin_round_constants():
+    """Golden vectors for the CURRENT (repo-generated) Poseidon constants
+    (fields/poseidon.py NOTE ON CONSTANTS).  If plonky2's round-constant
+    table is ever obtained, swap it in fields/poseidon.py and REGENERATE
+    these three vectors — every other byte of the transcript contract is
+    already reference-exact, so the swap is verified by this diff alone."""
+    from sipp_tpu.fields import poseidon
+    from sipp_tpu.protocol.transcript import Transcript
+
+    assert poseidon.permute(list(range(12))) == [
+        15291922079558242668, 4596475250056580112, 7756404356451436354,
+        12173079384802484801, 5451107080798026685, 11000581878380300065,
+        12341269890716818485, 8761973125421272811, 8399909429665433043,
+        6883805088035003483, 11182828734949429114, 14771401194482740389]
+    assert poseidon.hash_no_pad(list(range(9))) == [
+        148910153054243147, 2041478055866309694,
+        14015994219338081082, 4271887656641089057]
+    tr = Transcript()
+    tr.append_g1((1, 2))
+    tr.append_g2(((3, 4), (5, 6)))
+    assert tr.state == [
+        3323046534250193106, 12477555177529210504,
+        6752963573488774072, 14456287363106392219]
+    assert tr.get_challenge() == (
+        8625129333497398238293035331576978755514716380931424255436670982485764658247)
