@@ -91,7 +91,7 @@ _K_G1 = _make_exp_kernel(_FqAd)
 _K_G2 = _make_exp_kernel(_Fq2Ad)
 
 
-def _exp_call(kernel, coeff_shape, x_t, off_t, bits):
+def _exp_call(kernel, coeff_shape, x_t, off_t, bits, interpret=False):
     B = x_t.shape[-1]
     return pl.pallas_call(
         kernel,
@@ -106,26 +106,27 @@ def _exp_call(kernel, coeff_shape, x_t, off_t, bits):
         scratch_shapes=[pltpu.VMEM((3,) + coeff_shape + (L, B), jnp.uint32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
     )(jnp.asarray(t.CONSTS_NP), bits, x_t, off_t)
 
 
-@jax.jit
-def exp_g1_fused(x_aff, off_aff, bits):
+@functools.partial(jax.jit, static_argnums=(3,))
+def exp_g1_fused(x_aff, off_aff, bits, interpret=False):
     """offset + [k_i]x_i -> AFFINE, whole per-lane ladder in one kernel.
     x_aff, off_aff: (B, 2, L) affine G1; bits: (254, B) MSB-first per-lane.
     Bit-identical to G1.to_affine(G1.exp_with_offset(x, off, bits))."""
     xt = jnp.transpose(x_aff, (1, 2, 0))
     ot = jnp.transpose(off_aff, (1, 2, 0))
-    out = _exp_call(_K_G1, (), xt, ot, bits)
+    out = _exp_call(_K_G1, (), xt, ot, bits, interpret)
     return jnp.transpose(out, (2, 0, 1))
 
 
-@jax.jit
-def exp_g2_fused(x_aff, off_aff, bits):
+@functools.partial(jax.jit, static_argnums=(3,))
+def exp_g2_fused(x_aff, off_aff, bits, interpret=False):
     """G2 twin.  x, off: (B, 2, 2, L) affine G2; bits: (254, B)."""
     xt = jnp.transpose(x_aff, (1, 2, 3, 0))
     ot = jnp.transpose(off_aff, (1, 2, 3, 0))
-    out = _exp_call(_K_G2, (2,), xt, ot, bits)
+    out = _exp_call(_K_G2, (2,), xt, ot, bits, interpret)
     return jnp.transpose(out, (3, 0, 1, 2))
 
 
@@ -165,8 +166,8 @@ def _sel_fq12(cond, a, b):
     return jnp.where(cond[None, None, None, None, :], a, b)
 
 
-@jax.jit
-def fq12_exp_fused(x, off, bits):
+@functools.partial(jax.jit, static_argnums=(3,))
+def fq12_exp_fused(x, off, bits, interpret=False):
     """offset * x^(k_i) per lane, one kernel.  x, off: (B, 2, 3, 2, L)
     standard layout; bits: (254, B).  Bit-identical to
     tower.fq12_exp_with_offset."""
@@ -185,5 +186,6 @@ def fq12_exp_fused(x, off, bits):
         out_shape=jax.ShapeDtypeStruct((2, 3, 2, L, B), jnp.uint32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
     )(jnp.asarray(t.CONSTS_NP), bits, xt, ot)
     return jnp.transpose(out, (4, 0, 1, 2, 3))

@@ -90,11 +90,6 @@ def _round_kernels(mesh: Mesh):
         z_r = _product_tree(fg[:, 1])
         return z_l, z_r
 
-    def full_product(a, b):
-        """Local Miller product over all lanes + cross-device tree (for Z)."""
-        f = _product_tree(miller_loop(a[:, 0], b[:, 0]))
-        return _product_tree(jax.lax.all_gather(f, "i"))
-
     def fold_a(a, bits):
         a = a[:, 0]
         m = a.shape[0] // 2
@@ -113,12 +108,37 @@ def _round_kernels(mesh: Mesh):
     return {
         "cross": jax.jit(sm(cross_products, in_specs=(a_spec, b_spec),
                             out_specs=(rep, rep))),
-        "z": jax.jit(sm(full_product, in_specs=(a_spec, b_spec), out_specs=rep)),
         "fold_a": jax.jit(sm(fold_a, in_specs=(a_spec, P(None)),
                              out_specs=a_spec)),
         "fold_b": jax.jit(sm(fold_b, in_specs=(b_spec, P(None)),
                              out_specs=b_spec)),
     }
+
+
+def _fq12_mul_host(x, y):
+    """One Fq12 multiply on the host (native C++ when available): combines
+    the two cross sub-products into Z with ZERO extra compiled programs."""
+    from .. import native
+
+    if native.get_lib() is not None:
+        out = native.fq12_mul(native.fq12_dev_to_u64(np.asarray(x)),
+                              native.fq12_dev_to_u64(np.asarray(y)))
+        return jnp.asarray(native.u64_to_fq12_dev(out))
+    return tower.fq12_mul(x[None], y[None])[0]
+
+
+def z_product(kernels, a, b):
+    """Z = prod_i e(A_i, B_i) (pre-final-exp) via the SAME compiled
+    cross-products program: pre-swapping the halves of A makes the cross
+    lane pairing (A_hi, B_lo)/(A_lo, B_hi) collapse to (A_i, B_i), so the
+    per-round program set is 3 programs, not 4 — the dominant cold-start
+    cost of the sharded prover and the multichip dryrun.  Value-exact:
+    Fq12 products are exact field ops, so bracketing cannot change the
+    result (sharded == single-device asserted in tests/test_sharding.py)."""
+    h = a.shape[0] // 2
+    a_sw = jnp.concatenate([a[h:], a[:h]], axis=0)
+    f_l, f_r = kernels["cross"](a_sw, b)
+    return _fq12_mul_host(f_l, f_r)
 
 
 def precompile_round(mesh: Mesh, a, b, bits):
@@ -134,7 +154,6 @@ def precompile_round(mesh: Mesh, a, b, bits):
 
     k = _round_kernels(mesh)
     argv = {
-        "z": (k["z"], (a, b)),
         "cross": (k["cross"], (a, b)),
         "fold_a": (k["fold_a"], (a, bits)),
         "fold_b": (k["fold_b"], (b, bits)),
@@ -168,7 +187,12 @@ def sipp_prove_sharded(a_g1, b_g2, mesh: Mesh):
 
     from ..pairing.ate import final_exp_host
 
-    z = final_exp_host(k["z"](a, b))
+    if n > d:
+        z = final_exp_host(z_product(k, a, b))
+    else:  # one element per device: single-device program does the work
+        from ..pairing import inner_product
+
+        z = inner_product(unshard(a), unshard(b))
     proof = [z]
     tr.append_fq12(tower.fq12_decode(z[None])[0])
 

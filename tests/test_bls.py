@@ -60,3 +60,28 @@ def test_aggregate_rejects_tamper(setup):
         BLS.aggregate(sigs), prove=False,
     )
     assert not ok
+
+
+def test_hash_to_g2_golden_vectors():
+    """Pin the EXACT map output (increment schedule + sqrt sign convention +
+    cofactor clearing) as this framework's frozen spec — the reference's
+    `map_to_g2_without_cofactor_mul` lives in a non-vendored dependency
+    (bls_aggregation.rs:103), so cross-validation requires its source; any
+    future change to our map breaks these vectors loudly (same discipline as
+    the Poseidon golden vectors in test_poseidon_transcript.py)."""
+    # generic input (no increment needed)
+    assert BLS.map_to_g2_without_cofactor_mul((424242, 171717)) == (
+        (424242, 171717),
+        (14533135048247166816662746940351115004154206998895184992191964500777306337298,
+         6927733764469717901706130463663809783588109733081879454760528268559800081477))
+    # (1, 5) has no curve point; the schedule increments c0 until (7, 5)
+    assert BLS.map_to_g2_without_cofactor_mul((1, 5)) == (
+        (7, 5),
+        (13446273044329525207908541639776820132028895439906921804613236302072209388092,
+         12822884805728629867366488150791365044713730121427552893754797786287711335390))
+    # full hash (map + cofactor multiplication, lands in r-torsion)
+    assert BLS.hash_to_g2((424242, 171717)) == (
+        (19170719052565652154447469664303652338513199378041865428231434696830676564243,
+         2104591922849897917930930180913875583441567315072185351341706218297450814499),
+        (12290232940521137734014779511379184910923668477806375983086734784005275617393,
+         6670842489739523968356116559478095671067762444518985432452872514278139308987))

@@ -226,3 +226,85 @@ def test_miller_product_fused_interpret():
     ref = _product_tree(miller_loop(A, B))
     out = miller_product_fused(A, B, True)
     assert (np.asarray(out) == np.asarray(ref)).all()
+
+
+# ------------------------------------------------- per-lane exp kernels (D7/D8)
+
+def test_exp_add_mixed_complete_interpret():
+    """pallas_exp._add_mixed_complete vs weierstrass.add_mixed(handle_double):
+    generic, P == Q, P == inf lanes bit-exact; q == inf (kernel-only
+    completeness: result == p) asserted semantically."""
+    from sipp_tpu.curves import G1
+    from sipp_tpu.ops import pallas_exp as pe
+    from sipp_tpu.ops import pallas_fold as pf
+    from sipp_tpu.utils.testing import random_instance
+
+    A, _ = random_instance(8, seed=31)
+    Q, _ = random_instance(8, seed=32)
+    p = G1.dbl(G1.jac_from_affine(A))            # nontrivial Z
+    p = p.at[3].set(G1.jac_from_affine(Q)[3])    # lane 3: P == Q (double)
+    p = p.at[4].set(0)                           # lane 4: P == inf -> q
+    Q = Q.at[5].set(0)                           # lane 5: q == inf -> p
+
+    def kernel(c_ref, p_ref, q_ref, o_ref):
+        with tmul.bound_consts(c_ref[:]):
+            o_ref[:] = pe._add_mixed_complete(p_ref[:], q_ref[:], pf._FqAd)
+
+    got = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((3, FQ.L, 8), jnp.uint32),
+        interpret=True,
+    )(jnp.asarray(tmul.CONSTS_NP), jnp.transpose(p, (1, 2, 0)),
+      jnp.transpose(Q, (1, 2, 0)))
+    got = jnp.transpose(got, (2, 0, 1))
+    ref = G1.add_mixed(p, Q, handle_double=True)
+    ga, ra = np.asarray(G1.to_affine(got)), np.asarray(G1.to_affine(ref))
+    assert (ga[:5] == ra[:5]).all()
+    assert (ga[6:] == ra[6:]).all()
+    assert (ga[5] == np.asarray(G1.to_affine(p))[5]).all()
+
+
+def test_exp_one_like_fq12_interpret():
+    """pallas_exp._one_like_fq12 == tower one (Montgomery), transposed."""
+    from sipp_tpu.fields import tower as T
+    from sipp_tpu.ops import pallas_exp as pe
+
+    B = 4
+    want = jnp.transpose(T.fq12_ones((B,)), (1, 2, 3, 4, 0))
+
+    def kernel(c_ref, x_ref, o_ref):
+        with tmul.bound_consts(c_ref[:]):
+            o_ref[:] = pe._one_like_fq12(x_ref[:])
+
+    got = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((2, 3, 2, FQ.L, B), jnp.uint32),
+        interpret=True,
+    )(jnp.asarray(tmul.CONSTS_NP), jnp.zeros((2, 3, 2, FQ.L, B), jnp.uint32))
+    assert (np.asarray(got) == np.asarray(want)).all()
+
+
+@slow
+def test_exp_kernels_interpret():
+    """Whole per-lane exp ladders == the XLA exp_with_offset path, bit-exact
+    (fq12_exp_fused's pieces are covered by test_fexp_tower_ops_vs_tower +
+    test_exp_one_like_fq12_interpret; all three kernels are differentially
+    verified vs XLA on real TPU — scratch/exp_probe.log)."""
+    import numpy as _np
+
+    from sipp_tpu.curves import G1, G2
+    from sipp_tpu.ops import pallas_exp as pe
+    from sipp_tpu.utils.testing import random_instance
+
+    B = 4
+    rng = _np.random.default_rng(5)
+    bits = jnp.asarray(rng.integers(0, 2, size=(254, B)), jnp.uint32)
+    x1, o1 = random_instance(B, seed=41)[0], random_instance(B, seed=42)[0]
+    got = pe.exp_g1_fused(x1, o1, bits, True)
+    want = G1.to_affine(G1.exp_with_offset(x1, o1, bits))
+    assert (np.asarray(got) == np.asarray(want)).all()
+
+    x2, o2 = random_instance(B, seed=43)[1], random_instance(B, seed=44)[1]
+    got = pe.exp_g2_fused(x2, o2, bits, True)
+    want = G2.to_affine(G2.exp_with_offset(x2, o2, bits))
+    assert (np.asarray(got) == np.asarray(want)).all()
