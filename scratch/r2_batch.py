@@ -181,6 +181,29 @@ def s6():
     save("whole_n4096_ms", round(timeit(agg, reps=5) * 1e3, 1))
 
 
-for s in (s0, s1, s2, s3, s4, s5, s6):
+@section("s7_n4096_chunk256")
+def s7():
+    import importlib
+
+    pp_mod = importlib.import_module("sipp_tpu.pairing.ate")
+    pp_mod.MILLER_FUSED_CHUNK = 256
+    pp_mod._inner_f.clear_cache()
+    pp_mod._inner_z_fused.clear_cache()
+    try:
+        a, b = random_instance(4096, seed=42)
+
+        def agg():
+            return pp_mod._inner_z_fused(a, b, None)
+        t = time.time()
+        jax.block_until_ready(agg())
+        save("whole4096_c256_compile_s", round(time.time() - t, 1))
+        save("whole_n4096_c256_ms", round(timeit(agg, reps=5) * 1e3, 1))
+    finally:
+        pp_mod.MILLER_FUSED_CHUNK = 128
+        pp_mod._inner_f.clear_cache()
+        pp_mod._inner_z_fused.clear_cache()
+
+
+for s in (s0, s1, s2, s3, s4, s5, s6, s7):
     s()
 log("ALL DONE", json.dumps(RESULTS))

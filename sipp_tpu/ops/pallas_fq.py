@@ -1,22 +1,15 @@
-"""Hand-written Pallas TPU kernel for the batched Fq limb multiply.
+"""Minimal standalone Pallas kernel for the batched Fq limb multiply.
 
-The kernel runs the exact Fp._mul_impl algorithm (separated Montgomery with
-lazy carries) inside a pallas_call with explicit VMEM tiling, so all
-differential tests apply unchanged.
+SUPERSEDED as the production layout: this batch-on-sublanes form hits a
+Mosaic `tpu.concatenate` offset-layout bug on lane-axis concatenation, so
+the production kernels use the TRANSPOSED limbs-on-sublanes layout of
+ops/tmul.py (which needs no lane concatenation and utilizes the VPU
+better); fields/fp.py documents the remaining Mosaic-safe rewrites
+(prepadded-constant add, Kogge-Stone carries with rolls).
 
-STATUS (round 1, jax 0.9 Mosaic): the kernel is correct in interpret mode
-(tested) but Mosaic on this toolchain cannot lower the algorithm's shape of
-uint32 limb code.  Worked around in fields/fp.py (consts=... kernel path):
-unsigned reductions -> chained adds; `.at[slice].add` scatter -> prepadded
-constant; jnp.pad / negative indexing -> pltpu.roll + iota masks and
-positive static indices; carry-lookahead associative_scan -> Kogge-Stone
-with rolls.  STILL BLOCKED on `tpu.concatenate` of offset-layout vectors
-(internal Mosaic layout bug, hit even for aligned equal-width halves).  The
-round-2 fix is a transposed in-kernel layout (limbs on sublanes, batch on
-lanes) that needs no lane-axis concatenation at all — likely the right
-layout for VPU utilization anyway.  Until then the XLA path in fields/fp.py
-is the production path and is what bench.py measures.  Findings retained
-here deliberately so round 2 does not rediscover them.
+Kept as the self-contained one-op kernel exemplar and the first
+interpret-mode differential in tests/test_pallas.py (the exact
+Fp._mul_impl algorithm inside a pallas_call with explicit VMEM tiling).
 """
 
 import functools
