@@ -19,8 +19,9 @@ died in that warmup with nothing printed).  Strategy:
 
   * stage children run CONCURRENTLY as subprocesses (compiles happen on the
     tunnel server; children overlap compile waits, not chip time):
-      "perstep": per-step fused Pallas Miller + host C++ final exp —
-                 the cheapest-to-compile TPU path;
+      "xla":     XLA-scan Miller + host C++ final exp — zero Mosaic kernels,
+                 the cheapest program to push through a slow tunnel;
+      "perstep": per-step fused Pallas Miller + host C++ final exp;
       "whole":   the whole-loop fused kernel — the fastest path; compiles in
                  seconds when the persistent compile cache is warm;
   * the parent prints a JSON line AS SOON AS the first stage reports, then
@@ -83,14 +84,15 @@ def run_stage(stage: str):
             {"stage": stage, "prove_s": round(prove_s, 3),
              "verify_s": round(verify_s, 3)}), flush=True)
         return
-    elif stage == "perstep" or not on_tpu:
-        if on_tpu:
-            def agg(x, y):
-                return pp.final_exp_host(
-                    pp._product_tree(pp.miller_loop_fused(x, y)))
-        else:
-            def agg(x, y):  # CPU fallback: XLA scan miller + host final exp
-                return pp.final_exp_host(pp._miller_product(x, y))
+    elif stage == "xla" or not on_tpu:
+        # no Mosaic kernels at all — the cheapest program to compile through
+        # a slow tunnel (and the CPU fallback for every stage name)
+        def agg(x, y):
+            return pp.final_exp_host(pp._miller_product(x, y))
+    elif stage == "perstep":
+        def agg(x, y):
+            return pp.final_exp_host(
+                pp._product_tree(pp.miller_loop_fused(x, y)))
     elif stage == "whole":
         def agg(x, y):
             return pp._inner_z_fused(x, y, None)
@@ -164,8 +166,8 @@ def emit(best, extra=None):
 def main():
     t0 = time.time()
     remaining = lambda: BUDGET - (time.time() - t0)  # noqa: E731
-    children = [Child("perstep"), Child("whole")]
-    log(f"--- stages perstep+whole launched (budget {BUDGET:.0f}s)")
+    children = [Child("xla"), Child("perstep"), Child("whole")]
+    log(f"--- stages xla+perstep+whole launched (budget {BUDGET:.0f}s)")
 
     best = None
     protocol = None
