@@ -27,10 +27,3 @@ def test_sharded_prove_matches_single():
     proof_sharded = sipp_prove_sharded(a, b, mesh)
     assert (np.asarray(proof_single) == np.asarray(proof_sharded)).all()
     sipp_verify(a, b, proof_sharded)
-
-
-def test_sharded_prove_8dev():
-    mesh = make_mesh(8)
-    a, b = random_instance(16, seed=6)
-    proof = sipp_prove_sharded(a, b, mesh)
-    sipp_verify(a, b, proof)
