@@ -110,18 +110,27 @@ def run_stage(stage: str):
     jax.block_until_ready(z)
     dt = (time.time() - t) / REPS
     log(f"[{stage}] steady state: {dt*1000:.1f} ms per n={N} aggregation")
-    print("RESULT " + json.dumps({"stage": stage, "sec": dt}), flush=True)
+    print("RESULT " + json.dumps(
+        {"stage": stage, "sec": dt, "backend": jax.default_backend()}),
+        flush=True)
 
 
 # -------------------------------------------------------------- parent mode
 
 class Child:
-    def __init__(self, stage: str):
+    def __init__(self, stage: str, force_cpu: bool = False):
         self.stage = stage
         self.err = open(f"/tmp/bench_{stage}.err", "w+")
+        env = dict(os.environ)
+        if force_cpu:
+            # hermetic CPU: the axon plugin on PYTHONPATH can hang CPU runs,
+            # and a dead tunnel hangs device discovery entirely
+            env["JAX_PLATFORMS"] = "cpu"
+            env["PYTHONPATH"] = ""
+            env["BENCH_REPS"] = "2"
         self.proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--stage", stage],
-            stdout=subprocess.PIPE, stderr=self.err, text=True)
+            stdout=subprocess.PIPE, stderr=self.err, text=True, env=env)
         self.result = None
         self.done = False
 
@@ -157,6 +166,7 @@ def emit(best, extra=None):
         "value": round(value, 3),
         "unit": "pairings/s",
         "vs_baseline": round(value / BASELINE_PAIRINGS_PER_SEC, 3),
+        "backend": best.get("backend", "tpu"),
     }
     if extra:
         line.update(extra)
@@ -166,8 +176,9 @@ def emit(best, extra=None):
 def main():
     t0 = time.time()
     remaining = lambda: BUDGET - (time.time() - t0)  # noqa: E731
-    children = [Child("xla"), Child("perstep"), Child("whole")]
-    log(f"--- stages xla+perstep+whole launched (budget {BUDGET:.0f}s)")
+    children = [Child("xla"), Child("perstep"), Child("whole"),
+                Child("cpu", force_cpu=True)]
+    log(f"--- stages xla+perstep+whole+cpu launched (budget {BUDGET:.0f}s)")
 
     best = None
     protocol = None
@@ -184,12 +195,14 @@ def main():
                 best = cand
                 printed_sec = cand["sec"]
                 emit(best)
+        # chain the prove/verify wall-clock stage once the three TPU stages
+        # settle (the CPU-fallback child may still be grinding; don't wait)
+        if (best is not None and protocol is None and remaining() > 90
+                and all(c.done for c in children[:3])):
+            protocol = Child("protocol")
+            children.append(protocol)
+            log(f"--- stage protocol launched ({remaining():.0f}s left)")
         if all(c.done for c in children):
-            if best is not None and protocol is None and remaining() > 90:
-                protocol = Child("protocol")
-                children.append(protocol)
-                log(f"--- stage protocol launched ({remaining():.0f}s left)")
-                continue
             break
 
     for c in children:

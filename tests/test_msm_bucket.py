@@ -12,6 +12,16 @@ from sipp_tpu.utils.testing import random_points
 import pytest
 
 
+def _bits_short(ks, nbits):
+    """(nbits, n) MSB-first bit matrix for small test scalars (keeps the
+    bucket windows' compile + run cost CI-sized; msm_bucket is bit-width
+    generic)."""
+    return jnp.asarray(
+        np.array([[(k >> (nbits - 1 - i)) & 1 for k in ks]
+                  for i in range(nbits)], dtype=np.uint32))
+
+
+
 def test_msm_bucket_g1(rng):
     """Bucket MSM == ladder MSM == host oracle (incl. duplicate digits and a
     zero scalar).  12-bit scalars / c=4: three full windows, real collisions,

@@ -35,15 +35,6 @@ def test_msm_g2(rng):
     assert got == [want]
 
 
-def _bits_short(ks, nbits):
-    """(nbits, n) MSB-first bit matrix for small test scalars (keeps the
-    bucket windows' compile + run cost CI-sized; msm_bucket is bit-width
-    generic)."""
-    return jnp.asarray(
-        np.array([[(k >> (nbits - 1 - i)) & 1 for k in ks]
-                  for i in range(nbits)], dtype=np.uint32))
-
-
 def test_proof_io_roundtrip(tmp_path):
     from sipp_tpu import io
     from sipp_tpu.protocol import sipp_prove, sipp_verify
