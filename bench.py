@@ -8,28 +8,29 @@ Baseline: the reference's published number is 145.04 s to aggregate 128
 pairings via its verifier-SNARK path on an M1 MacBook Pro
 (/root/reference/README.md:38-40; BASELINE.md) = 0.8826 pairings/s.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (plus
-"prove_s"/"verify_s" wall-clock extras when the budget allowed stage 3).
-If a better stage completes after a line was already printed, an upgraded
-line is printed — the LAST line is the result.  Diagnostics go to stderr.
+Prints JSON lines as results land; the LAST line is always the headline
+n=128 metric {"metric", "value", "unit", "vs_baseline"} (plus
+"prove_s"/"verify_s" wall-clock extras when the budget allowed the protocol
+stage).  An n=4096 line (BASELINE config 4) is emitted before it when that
+chained stage completes.  Diagnostics go to stderr.
 
-Cold-start discipline (round-1 failure mode: the whole-loop Mosaic kernel
-can take 20+ min to compile through a slow tunnel, and the round-1 bench
-died in that warmup with nothing printed).  Strategy:
+Cold-start discipline (round-1/2 failure mode: the whole-loop Mosaic kernel
+can take 20+ min to compile through a slow tunnel, and twice the flagship
+stage died in that warmup).  Strategy:
 
   * stage children run CONCURRENTLY as subprocesses (compiles happen on the
     tunnel server; children overlap compile waits, not chip time):
-      "xla":     XLA-scan Miller + host C++ final exp — zero Mosaic kernels,
-                 the cheapest program to push through a slow tunnel;
+      "whole":   the whole-loop fused kernel — the flagship path; launched
+                 FIRST, compiles in seconds when the persistent compile
+                 cache is warm (sipp_tpu.jaxcfg);
       "perstep": per-step fused Pallas Miller + host C++ final exp;
-      "whole":   the whole-loop fused kernel — the fastest path; compiles in
-                 seconds when the persistent compile cache is warm;
+      "cpu":     hermetic CPU fallback so SOME number always lands;
   * the parent prints a JSON line AS SOON AS the first stage reports, then
     upgrades it if a faster stage lands before the budget
     (SIPP_BENCH_BUDGET, default 520 s);
-  * if both stages finish early, stage 3 measures full-protocol prove/verify
-    wall-clock (reference verifier_native.rs:14-85) and re-prints the line
-    with "prove_s"/"verify_s" attached.
+  * once the TPU stages settle, two chained stages use the remaining budget:
+    "protocol" (full prove/verify wall-clock, reference
+    verifier_native.rs:14-85) and "whole" at BENCH_N=4096 (config 4).
 
 Exit 0 iff at least one stage produced a measurement.
 """
@@ -111,16 +112,18 @@ def run_stage(stage: str):
     dt = (time.time() - t) / REPS
     log(f"[{stage}] steady state: {dt*1000:.1f} ms per n={N} aggregation")
     print("RESULT " + json.dumps(
-        {"stage": stage, "sec": dt, "backend": jax.default_backend()}),
+        {"stage": stage, "sec": dt, "n": N, "backend": jax.default_backend()}),
         flush=True)
 
 
 # -------------------------------------------------------------- parent mode
 
 class Child:
-    def __init__(self, stage: str, force_cpu: bool = False):
+    def __init__(self, stage: str, force_cpu: bool = False, env_extra=None,
+                 name: str = None):
         self.stage = stage
-        self.err = open(f"/tmp/bench_{stage}.err", "w+")
+        self.name = name or stage
+        self.err = open(f"/tmp/bench_{self.name}.err", "w+")
         env = dict(os.environ)
         if force_cpu:
             # hermetic CPU: the axon plugin on PYTHONPATH can hang CPU runs,
@@ -128,11 +131,21 @@ class Child:
             env["JAX_PLATFORMS"] = "cpu"
             env["PYTHONPATH"] = ""
             env["BENCH_REPS"] = "2"
+        if env_extra:
+            env.update(env_extra)
         self.proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--stage", stage],
             stdout=subprocess.PIPE, stderr=self.err, text=True, env=env)
         self.result = None
         self.done = False
+
+    def _stderr_tail(self) -> str:
+        if self.err.closed:
+            return ""
+        self.err.seek(0)
+        tail = self.err.read()[-1500:]
+        self.err.close()
+        return tail
 
     def poll(self):
         if self.done or self.proc.poll() is None:
@@ -141,28 +154,22 @@ class Child:
         for line in (self.proc.stdout.read() or "").splitlines():
             if line.startswith("RESULT "):
                 self.result = json.loads(line[len("RESULT "):])
-        self.err.seek(0)
-        tail = self.err.read()[-1500:]
-        self.err.close()
-        log(f"--- stage {self.stage}: rc={self.proc.returncode} "
-            f"result={self.result}\n{tail}")
+        log(f"--- stage {self.name}: rc={self.proc.returncode} "
+            f"result={self.result}\n{self._stderr_tail()}")
 
     def kill(self):
         if self.proc.poll() is None:
             self.proc.kill()
             self.proc.wait()
-            log(f"--- stage {self.stage}: killed at budget")
-        if not self.err.closed:
-            self.err.seek(0)
-            log(f"--- stage {self.stage} stderr tail:\n"
-                + self.err.read()[-1500:])
-            self.err.close()
+            self.done = True
+            log(f"--- stage {self.name}: killed at budget")
+            log(f"--- stage {self.name} stderr tail:\n{self._stderr_tail()}")
 
 
-def emit(best, extra=None):
-    value = N / best["sec"]
+def emit(best, extra=None, n=N):
+    value = n / best["sec"]
     line = {
-        "metric": f"bn254_pairings_aggregated_per_sec_n{N}",
+        "metric": f"bn254_pairings_aggregated_per_sec_n{n}",
         "value": round(value, 3),
         "unit": "pairings/s",
         "vs_baseline": round(value / BASELINE_PAIRINGS_PER_SEC, 3),
@@ -176,45 +183,57 @@ def emit(best, extra=None):
 def main():
     t0 = time.time()
     remaining = lambda: BUDGET - (time.time() - t0)  # noqa: E731
-    children = [Child("xla"), Child("perstep"), Child("whole"),
-                Child("cpu", force_cpu=True)]
-    log(f"--- stages xla+perstep+whole+cpu launched (budget {BUDGET:.0f}s)")
+    # flagship stage FIRST so a cold tunnel spends its compile bandwidth there
+    children = [Child("whole"), Child("perstep"), Child("cpu", force_cpu=True)]
+    log(f"--- stages whole+perstep+cpu launched (budget {BUDGET:.0f}s)")
 
     best = None
     protocol = None
+    big = None
     printed_sec = None
     while remaining() > 5:
         time.sleep(2)
         for c in children:
             c.poll()
         agg = [c.result for c in children
-               if c.result is not None and "sec" in c.result]
+               if c.result is not None and c.result.get("n") == N]
         if agg:
             cand = min(agg, key=lambda r: r["sec"])
             if printed_sec is None or cand["sec"] < printed_sec:
                 best = cand
                 printed_sec = cand["sec"]
                 emit(best)
-        # chain the prove/verify wall-clock stage once the three TPU stages
-        # settle (the CPU-fallback child may still be grinding; don't wait)
+        # chain prove/verify wall-clock + the n=4096 config-4 stage once the
+        # two TPU stages settle (the CPU child may still grind; don't wait)
         if (best is not None and protocol is None and remaining() > 90
-                and all(c.done for c in children[:3])):
+                and all(c.done for c in children[:2])):
             protocol = Child("protocol")
-            children.append(protocol)
-            log(f"--- stage protocol launched ({remaining():.0f}s left)")
+            big = Child("whole", env_extra={"BENCH_N": "4096",
+                                            "BENCH_REPS": "4"},
+                        name="whole4096")
+            children += [protocol, big]
+            log(f"--- stages protocol+whole4096 launched "
+                f"({remaining():.0f}s left)")
+        if big is not None and big.result and big.result.get("n") == 4096:
+            emit(big.result, n=4096)
+            big = None  # emit once
         if all(c.done for c in children):
             break
 
     for c in children:
         c.kill()
         c.poll()
+    if big is not None and big.result and big.result.get("n") == 4096:
+        emit(big.result, n=4096)
 
     if best is None:
         log("no stage completed within budget")
         raise SystemExit(1)
+    # final line = the headline n=128 metric (the driver parses the LAST line)
+    extra = None
     if protocol is not None and protocol.result:
-        emit(best,
-             extra={k: v for k, v in protocol.result.items() if k != "stage"})
+        extra = {k: v for k, v in protocol.result.items() if k != "stage"}
+    emit(best, extra=extra)
     return
 
 

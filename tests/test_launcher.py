@@ -45,7 +45,11 @@ def test_two_process_cluster(tmp_path):
     script.write_text(_CHILD)
     env = {k: v for k, v in os.environ.items()
            if not k.startswith(("PALLAS_AXON", "AXON"))}
-    env["PYTHONPATH"] = ""  # keep the axon plugin off the cluster
+    # repo root only: keeps the axon plugin off the cluster while letting
+    # child scripts (which run from tmp_path) import sipp_tpu on hosts where
+    # the package is not pip-installed
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), coord, str(i)],
