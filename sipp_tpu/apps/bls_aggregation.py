@@ -107,24 +107,30 @@ def verify_bls_aggregation(pks, msgs, sigma, prove=True):
     n = len(a_pts)
     assert n & (n - 1) == 0, "n must be a power of two"
 
-    # native check: <a, b> == 1
-    z = H.FQ12_ONE
-    for p, q in zip(a_pts, b_pts):
-        z = H.fq12_mul(z, H.pairing(p, q))
-    if z != H.FQ12_ONE:
+    # aggregate check <a, b> == 1 on the framework's own fast path: ONE
+    # batched device inner product (bls_aggregation.rs:123-126 does the same
+    # check via its SIPP verifier; a host pairing loop here would be n serial
+    # Python pairings — minutes at n=128 vs milliseconds batched)
+    from ..fields import tower
+    from ..pairing import inner_product
+
+    a = curves.g1_encode(a_pts)
+    b = curves.g2_encode(b_pts)
+    z_ints = tower.fq12_decode(inner_product(a, b)[None])[0]
+    if z_ints != H.FQ12_ONE:
         return False, None
     if not prove:
         return True, None
 
-    a = curves.g1_encode(a_pts)
-    b = curves.g2_encode(b_pts)
     proof = sipp_prove(a, b)
     stmt = sipp_verify(a, b, proof)   # raises on invalid proof
     assert stmt.Z == H.FQ12_ONE
     return True, proof
 
 
-def main(n: int = 8):
+def main(n: int = 128):
+    """Default demo at the reference's scale (bls_aggregation.rs:93, n=128)."""
+    import json
     import time
 
     rng = np.random.default_rng(0)
@@ -138,14 +144,19 @@ def main(n: int = 8):
     ]
     sigs = [sign(sk, m) for (sk, _), m in zip(keys, msgs)]
     sigma = aggregate(sigs)
-    print(f"keygen+sign+aggregate: {time.time()-t0:.2f}s")
+    setup_s = time.time() - t0
+    print(f"keygen+sign+aggregate: {setup_s:.2f}s")
     t0 = time.time()
     ok, proof = verify_bls_aggregation([pk for _, pk in keys], msgs, sigma)
-    print(f"verify_bls_aggregation: ok={ok} in {time.time()-t0:.2f}s "
+    verify_s = time.time() - t0
+    print(f"verify_bls_aggregation: ok={ok} in {verify_s:.2f}s "
           f"(proof: {None if proof is None else proof.shape})")
+    print(json.dumps({"app": "bls_aggregation", "n": n, "ok": ok,
+                      "setup_s": round(setup_s, 3),
+                      "verify_s": round(verify_s, 3)}))
     assert ok
     return ok
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 128)

@@ -26,7 +26,7 @@ def main(argv=None):
                    help="also write the statement wire format here")
 
     b = sub.add_parser("bls", help="BLS aggregation demo")
-    b.add_argument("--n", type=int, default=8)
+    b.add_argument("--n", type=int, default=128)
 
     args = ap.parse_args(argv)
 

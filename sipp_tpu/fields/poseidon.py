@@ -10,18 +10,27 @@ circulant [17,15,41,16,2,28,13,13,39,18,34,20] with +8 on the (0,0) entry.
 
 NOTE ON CONSTANTS: plonky2's 360 round constants are not derivable in this
 offline environment (the dependency is not vendored; SURVEY.md §4 notes the
-reference Rust is not runnable here).  They are therefore generated
-deterministically below (SHA-256 counter mode, domain-separated, rejection
-sampling into the field).  The permutation structure, widths, absorb rule,
-and every byte of the transcript encoding contract (SURVEY.md §2.4) are
-bit-exact to the reference; swapping ROUND_CONSTANTS for plonky2's table is a
-one-file change that restores full cross-implementation hash equality.
+reference Rust is not runnable here, and the table is not Grain-LFSR
+reproducible — a parameter sweep of the Poseidon reference generator was
+tried).  They are therefore generated deterministically below (SHA-256
+counter mode, domain-separated, rejection sampling into the field).  The
+permutation structure, widths, absorb rule, and every byte of the transcript
+encoding contract (SURVEY.md §2.4) are bit-exact to the reference.
+
+SWAP HOOK: set SIPP_POSEIDON_RC_FILE to a file holding the 360 u64 round
+constants (JSON list, or whitespace/comma-separated decimal/hex ints, row-
+major round-then-lane — plonky2's ALL_ROUND_CONSTANTS order) and EVERY
+engine (host Python, device kernels, native C++ chain via
+native.sipp_set_constants) picks them up at import: the day plonky2's table
+is available, full cross-implementation hash equality is a file drop plus
+regenerating the golden vectors (tests/test_poseidon_transcript.py).
 
 Both a host (pure Python int) and a device (vectorized jnp over the FGL limb
 field) implementation are provided and differentially tested.
 """
 
 import hashlib
+import os
 
 import jax
 import jax.numpy as jnp
@@ -60,7 +69,35 @@ def _gen_round_constants():
     return [out[r * WIDTH : (r + 1) * WIDTH] for r in range(N_ROUNDS)]
 
 
-ROUND_CONSTANTS = _gen_round_constants()
+def _load_round_constants(path):
+    """External table hook (see module docstring): 360 u64s, row-major
+    round-then-lane.  Accepts a JSON list or whitespace/comma-separated
+    decimal/0x-hex integers."""
+    with open(path) as f:
+        text = f.read()
+    try:
+        import json
+
+        vals = [int(v) for v in json.loads(text)]
+    except ValueError:
+        vals = [int(tok, 0) for tok in text.replace(",", " ").split()]
+    if len(vals) != N_ROUNDS * WIDTH:
+        raise ValueError(
+            f"SIPP_POSEIDON_RC_FILE {path}: expected {N_ROUNDS * WIDTH} "
+            f"constants, got {len(vals)}")
+    bad = [v for v in vals if not 0 <= v < 2**64]
+    if bad:
+        raise ValueError(f"SIPP_POSEIDON_RC_FILE {path}: out-of-range {bad[:3]}")
+    # plonky2 adds constants as unreduced u64s into Goldilocks arithmetic;
+    # reduce on load so all three engines see canonical field elements
+    vals = [v % P for v in vals]
+    return [vals[r * WIDTH : (r + 1) * WIDTH] for r in range(N_ROUNDS)]
+
+
+_RC_FILE = os.environ.get("SIPP_POSEIDON_RC_FILE")
+ROUND_CONSTANTS = (
+    _load_round_constants(_RC_FILE) if _RC_FILE else _gen_round_constants()
+)
 
 
 # ------------------------------------------------------------------- host

@@ -1,5 +1,8 @@
 """BLS aggregation application tests (reference bls_aggregation.rs semantics)."""
 
+import json
+import os
+
 import numpy as np
 import pytest
 
@@ -60,6 +63,23 @@ def test_aggregate_rejects_tamper(setup):
         BLS.aggregate(sigs), prove=False,
     )
     assert not ok
+
+
+def test_main_demo_json_line(capsys):
+    """The demo entry point ends with a machine-readable timing line (and the
+    aggregate check rides the batched device inner product, not a host
+    pairing loop)."""
+    assert BLS.main(4)
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["app"] == "bls_aggregation" and line["n"] == 4 and line["ok"]
+    assert "verify_s" in line and "setup_s" in line
+
+
+@pytest.mark.skipif(not os.environ.get("SIPP_SLOW_TESTS"),
+                    reason="n=128 e2e: several minutes of cold XLA compiles")
+def test_main_demo_n128():
+    """Reference-scale demo (bls_aggregation.rs:93, n=128) end-to-end."""
+    assert BLS.main(128)
 
 
 def test_hash_to_g2_golden_vectors():
