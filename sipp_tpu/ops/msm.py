@@ -76,67 +76,135 @@ def _segment_scan_points(curve, keys, jac):
     return out
 
 
-def msm_bucket(curve, points_aff, bits, c: int = 8):
-    """sum_i [k_i] P_i via fixed-window buckets (the north-star "bucket MSM"
-    formulation; reference analogue: the starky exp statements' batched
-    scalar-mul workloads, SURVEY.md D7/P4).
-
-    Per window: c-bit digits -> argsort -> gathered points -> segmented-scan
-    bucket sums -> segment-end gather into 2^c buckets -> suffix associative
-    scan (the sum_k k*B_k identity) -> one tree sum.  Windows combine by
-    Horner with c batched doublings per window.  Every stage is a wide
-    batched curve op or a log-depth scan; nothing serializes over n.
-
-    Cost honesty: this scan formulation does MORE work than the ladder at
-    scale — W*n*log2(n) complete adds (W = ceil(254/c) windows) vs the
-    ladder's ~2*254*n, so the ladder wins whenever log2(n) > ~16/W-adjusted,
-    i.e. for every n this framework targets — and its serial depth
-    W*(log2(n) + c + 2^c-suffix) also exceeds the ladder's 254 at large n.
-    It exists as the semantics anchor for the Pippenger formulation (exact
-    bucket/window decomposition, oracle-tested) that the per-shard-bucket
-    Pallas variant described in the module header would implement for the
-    n >> 10^6 multi-host regime; msm() remains the production path.
-
-    points_aff: (n, ...) affine; bits: (254, n) MSB-first.  Jacobian result.
-    Same group element as msm() (differential test in tests/test_msm_io.py).
-    """
+def _digits(bits, c: int):
+    """(nbits, n) MSB-first bits -> (w, n) c-bit window digits, MSB window
+    first (the first window zero-padded when c doesn't divide nbits)."""
     nbits, n = bits.shape
-    w = -(-nbits // c)  # windows, MSB-first; first window may be short
+    w = -(-nbits // c)
     pad = w * c - nbits
     if pad:
         bits = jnp.concatenate([jnp.zeros((pad, n), bits.dtype), bits], 0)
     digits = jnp.zeros((w, n), jnp.int32)
     for j in range(c):
         digits = (digits << 1) + bits[j::c].astype(jnp.int32)
+    return digits
 
-    acc = curve.jac_infinity(())
 
-    def window(acc, dig):
-        perm = jnp.argsort(dig)
-        d_s = dig[perm]
-        jac = curve.jac_from_affine(points_aff[perm])
-        # zero-digit lanes contribute nothing: mask them to infinity so the
-        # scan and the bucket-0 slot both stay inert
-        jac = jnp.where(curve._expand_pt(d_s == 0), jnp.zeros_like(jac), jac)
-        sums = _segment_scan_points(curve, d_s, jac)
-        # Segment-end GATHER (scatter-free: jitted dynamic scatters miscompile
-        # on some XLA:CPU hosts — see fields/fp.py Montgomery reduction note):
-        # keys are sorted, so searchsorted(right)-1 is the last index of each
-        # bucket's segment, where the inclusive scan holds the full sum.
-        ks = jnp.arange(1, 1 << c)
-        pos = jnp.clip(jnp.searchsorted(d_s, ks, side="right") - 1, 0, n - 1)
-        hit = jnp.take(d_s, pos) == ks
-        buckets = jnp.where(curve._expand_pt(hit), jnp.take(sums, pos, axis=0),
-                            curve.jac_infinity((ks.shape[0],)))
-        # T = sum_{k>=1} k * B_k = sum of suffix sums over buckets (k=1..2^c-1)
+def _window_buckets(curve, points_aff, dig, c: int):
+    """One window's (2^c - 1, ...) Jacobian bucket sums B_k = sum of points
+    with digit k (k = 1..2^c-1), every stage a wide batched op:
+    argsort -> gathered points -> segmented-scan partial sums -> segment-end
+    gather.  Scatter-free: jitted dynamic scatters miscompile on some
+    XLA:CPU hosts (see fields/fp.py Montgomery reduction note); keys are
+    sorted, so searchsorted(right)-1 is the last index of each bucket's
+    segment, where the inclusive scan holds the full sum."""
+    n = dig.shape[0]
+    perm = jnp.argsort(dig)
+    d_s = dig[perm]
+    jac = curve.jac_from_affine(points_aff[perm])
+    # zero-digit lanes contribute nothing: mask them to infinity so the
+    # scan and the bucket-0 slot both stay inert
+    jac = jnp.where(curve._expand_pt(d_s == 0), jnp.zeros_like(jac), jac)
+    sums = _segment_scan_points(curve, d_s, jac)
+    ks = jnp.arange(1, 1 << c)
+    pos = jnp.clip(jnp.searchsorted(d_s, ks, side="right") - 1, 0, n - 1)
+    hit = jnp.take(d_s, pos) == ks
+    return jnp.where(curve._expand_pt(hit), jnp.take(sums, pos, axis=0),
+                     curve.jac_infinity((ks.shape[0],)))
+
+
+def _horner_windows(curve, buckets_all, c: int):
+    """Combine per-window buckets (w, 2^c-1, ...) into the MSM result:
+    per window the suffix associative scan (sum_k k*B_k identity) + one tree
+    sum; windows combine by Horner with c batched doublings."""
+
+    def window(acc, buckets):
         suffix = jax.lax.associative_scan(curve.add, buckets, reverse=True)
         t_w = _tree_sum(curve, suffix)
         for _ in range(c):
             acc = curve.dbl(acc)
         return curve.add(acc, t_w), None
 
-    acc, _ = jax.lax.scan(window, acc, digits)
+    acc, _ = jax.lax.scan(window, curve.jac_infinity(()), buckets_all)
     return acc
+
+
+def msm_bucket(curve, points_aff, bits, c: int = 8):
+    """sum_i [k_i] P_i via fixed-window buckets (the north-star "bucket MSM"
+    formulation; reference analogue: the starky exp statements' batched
+    scalar-mul workloads, SURVEY.md D7/P4).
+
+    Per window: c-bit digits -> bucket sums (_window_buckets) -> suffix
+    associative scan -> tree sum; windows combine by Horner (_horner_windows).
+    Every stage is a wide batched curve op or a log-depth scan; nothing
+    serializes over n.
+
+    Cost honesty: this scan formulation does MORE work than the ladder at
+    scale — W*n*log2(n) complete adds (W = ceil(254/c) windows) vs the
+    ladder's ~2*254*n, so the ladder wins whenever log2(n) > ~16/W-adjusted,
+    i.e. for every n this framework targets — and its serial depth
+    W*(log2(n) + c + 2^c-suffix) also exceeds the ladder's 254 at large n.
+    It is the semantics anchor for the Pippenger formulation (exact
+    bucket/window decomposition, oracle-tested); msm() remains the
+    single-device production path, and msm_bucket_sharded composes the same
+    windows over a device mesh for the multi-host regime (SURVEY P4).
+
+    points_aff: (n, ...) affine; bits: (254, n) MSB-first.  Jacobian result.
+    Same group element as msm() (differential test in tests/test_msm_io.py).
+    """
+    digits = _digits(bits, c)
+
+    def window(acc, dig):
+        buckets = _window_buckets(curve, points_aff, dig, c)
+        suffix = jax.lax.associative_scan(curve.add, buckets, reverse=True)
+        t_w = _tree_sum(curve, suffix)
+        for _ in range(c):
+            acc = curve.dbl(acc)
+        return curve.add(acc, t_w), None
+
+    acc, _ = jax.lax.scan(window, curve.jac_infinity(()), digits)
+    return acc
+
+
+def msm_bucket_sharded(curve, points_aff, bits, mesh, c: int = 8):
+    """SURVEY P4 / BASELINE config 4: per-SHARD bucket accumulation composed
+    over a device mesh.  Each device buckets only its own n/d points per
+    window (the wide data-parallel stage, zero communication), then the
+    (w, 2^c-1) bucket tables are combined bucket-WISE across the mesh — the
+    only collective, one all_gather of 2^c-1 Jacobian points per window —
+    and the cheap window combine (suffix scan + Horner, 2^c-wide) runs
+    replicated.  Cross-device traffic is O(w * 2^c) points, independent of n;
+    the EC "reduction" rides the gather + a log2(d) batched add tree because
+    Jacobian addition is not a psum-able monoid on coordinates.
+
+    points_aff: (n, ...) affine, n divisible by mesh size; bits: (nbits, n)
+    MSB-first.  Returns a replicated Jacobian point == msm_bucket(...) ==
+    msm(...) (differential: tests/test_msm_sharded.py)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    digits = _digits(bits, c)
+
+    def body(pts, digs):
+        def one(dig):
+            return _window_buckets(curve, pts, dig, c)
+
+        local = jax.lax.map(one, digs)            # (w, 2^c-1, ...)
+        allb = jax.lax.all_gather(local, axis)    # (d, w, 2^c-1, ...)
+        comb = allb
+        while comb.shape[0] > 1:                  # bucket-wise add tree
+            half = comb.shape[0] // 2
+            rest = comb[2 * half:]
+            comb = jnp.concatenate(
+                [curve.add(comb[:half], comb[half: 2 * half]), rest], 0)
+        return _horner_windows(curve, comb[0], c)
+
+    # check_vma=False: the post-all_gather combine is replicated by
+    # construction (same convention as parallel/sharded._round_kernels)
+    fn = shard_map(body, mesh=mesh, in_specs=(P(axis), P(None, axis)),
+                   out_specs=P(), check_vma=False)
+    return jax.jit(fn)(points_aff, digits)
 
 
 def msm_bucket_g1(points_aff, bits, c: int = 8):
