@@ -20,6 +20,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 T0 = time.time()
 RESULTS = {}
 OUT = "/tmp/r3_tpu_results.json"

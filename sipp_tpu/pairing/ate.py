@@ -43,7 +43,9 @@ _TWF_X = T.fq2_encode(hostref.TWIST_FROB_X)
 _TWF_Y = T.fq2_encode(hostref.TWIST_FROB_Y)
 
 # Miller-loop lane chunk: beyond this the scan state spills VMEM on v5e.
-MILLER_CHUNK = 1024
+# Injectable (env, or monkeypatch + jax.clear_caches()) so the multi-chunk
+# _inner_f path is exercisable at CPU-test scale.
+MILLER_CHUNK = int(os.environ.get("SIPP_MILLER_CHUNK_XLA", "1024"))
 # Fused-Pallas Miller chunk: the per-step kernel's VMEM working set caps the
 # lane count at 128 on v5e (256+ fails Mosaic compile; measured 2.8x faster
 # than the XLA scan at 128 lanes).  The WHOLE-LOOP kernel scales further

@@ -23,6 +23,8 @@ Z_L = <A_hi, B_lo>, Z_R = <A_lo, B_hi>; proof = [Z, Z_L1, Z_R1, ...] REVERSED
 so the verifier pops from the back (§2.4 item 6).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -37,7 +39,9 @@ from .transcript import Transcript
 # Small fold rounds keep this many live+masked lanes (width 2*PAD_FLOOR) so
 # they all share ONE compiled kernel instead of recompiling at every halved
 # size (exact: infinity lanes contribute 1 to products and fold to infinity).
-PAD_FLOOR = 64
+# Injectable (env SIPP_PAD_FLOOR, or monkeypatch + jax.clear_caches()) so the
+# wide-round width-shrinking paths are exercisable at CPU-test scale.
+PAD_FLOOR = int(os.environ.get("SIPP_PAD_FLOOR", "64"))
 
 
 def _floor(n0: int) -> int:
