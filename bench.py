@@ -70,9 +70,14 @@ def run_stage(stage: str):
 
     if stage == "protocol":
         from sipp_tpu.protocol import sipp_verify
-        from sipp_tpu.protocol.prover import sipp_prove, sipp_prove_onchip
+        from sipp_tpu.protocol.prover import sipp_prove
 
-        prove = sipp_prove_onchip if on_tpu else sipp_prove
+        # host-spine prover: its per-round programs (_inner_z_fused,
+        # _round_zs_fused, fold kernels) are individually cacheable and
+        # shared with the app/CLI paths; the fully-fused onchip prover's
+        # single scanned program exceeded 100 min of tunnel compile in
+        # round 3 (scratch/r3_batch logs) and is exercised by tests instead
+        prove = sipp_prove
         t = time.time()
         proof = prove(a, b)
         jax.block_until_ready(proof)
