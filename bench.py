@@ -60,6 +60,7 @@ def log(*a):
 
 def run_stage(stage: str):
     import jax
+    import jax.numpy as jnp
 
     log(f"[{stage}] devices: {jax.devices()}")
     from sipp_tpu.pairing import ate as pp
@@ -67,6 +68,17 @@ def run_stage(stage: str):
 
     a, b = random_instance(N, seed=1177)
     on_tpu = jax.default_backend() == "tpu"
+
+    # Every measured call gets input bytes the device has NEVER executed
+    # before: the remote axon runtime can dedup repeated (program, input)
+    # executions, which made a same-input timing loop report dispatch cost
+    # (0.05 ms "per aggregation") instead of compute.  Rolling the lane axis
+    # keeps the instance valid and the program identical while changing the
+    # buffers; the shift is a traced argument so this is ONE tiny program.
+    _roll = jax.jit(lambda x, y, i: (jnp.roll(x, i, 0), jnp.roll(y, i, 0)))
+
+    def fresh_instances(k):
+        return jax.block_until_ready([_roll(a, b, i + 1) for i in range(k)])
 
     if stage == "protocol":
         from sipp_tpu.protocol import sipp_verify
@@ -82,13 +94,14 @@ def run_stage(stage: str):
         proof = prove(a, b)
         jax.block_until_ready(proof)
         log(f"[protocol] prove warmup (compile) {time.time()-t:.1f}s")
+        (a2, b2), = fresh_instances(1)
         t = time.time()
-        proof = prove(a, b)
-        jax.block_until_ready(proof)
+        proof2 = prove(a2, b2)
+        jax.block_until_ready(proof2)
         prove_s = time.time() - t
         sipp_verify(a, b, proof)
         t = time.time()
-        sipp_verify(a, b, proof)
+        sipp_verify(a2, b2, proof2)
         verify_s = time.time() - t
         log(f"[protocol] prove {prove_s:.3f}s verify {verify_s:.3f}s at n={N}")
         print("RESULT " + json.dumps(
@@ -115,9 +128,10 @@ def run_stage(stage: str):
     jax.block_until_ready(z)
     log(f"[{stage}] warmup (compile) {time.time()-t:.1f}s")
 
+    insts = fresh_instances(REPS)
     t = time.time()
-    for _ in range(REPS):
-        z = agg(a, b)
+    for x, y in insts:
+        z = agg(x, y)
     jax.block_until_ready(z)
     dt = (time.time() - t) / REPS
     log(f"[{stage}] steady state: {dt*1000:.1f} ms per n={N} aggregation")
