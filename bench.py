@@ -44,11 +44,14 @@ import time
 N = int(os.environ.get("BENCH_N", "128"))
 BASELINE_PAIRINGS_PER_SEC = 128.0 / 145.043526708
 # Self-budget: with a warm persistent cache every stage lands in ~2 min; the
-# 2400 s headroom exists for a cold cache, where today's tunnel compiles the
-# whole-loop program in ~37 min (scratch/r3_batch logs).  JSON lines stream
-# as stages land, so an EXTERNAL kill at any point still leaves the best
-# result so far on stdout (the driver parses the last line).
-BUDGET = float(os.environ.get("SIPP_BENCH_BUDGET", "2400"))
+# headroom exists for a cold cache, where the tunnel compiles the whole-loop
+# program in 5-37 min (day-variable; scratch/r3_batch logs).  The driver's
+# own external timeout measured ~2400 s (BENCH_r01-r03 all rc=124), so the
+# self-budget sits BELOW it: bench.py must reach its own final-emit path
+# (kill children, flush protocol extras, selftest) rather than die mid-loop.
+# JSON lines stream as stages land, so an external kill at any point still
+# leaves the best result so far on stdout (the driver parses the last line).
+BUDGET = float(os.environ.get("SIPP_BENCH_BUDGET", "2100"))
 REPS = int(os.environ.get("BENCH_REPS", "10"))
 
 
@@ -76,6 +79,10 @@ def run_stage(stage: str):
     # keeps the instance valid and the program identical while changing the
     # buffers; the shift is a traced argument so this is ONE tiny program.
     _roll = jax.jit(lambda x, y, i: (jnp.roll(x, i, 0), jnp.roll(y, i, 0)))
+    # distinct-inputs guarantee: jnp.roll wraps mod N, so REPS >= N would
+    # silently reuse inputs and re-admit the runtime dedup artifact this
+    # scheme defeats (ADVICE r3)
+    assert REPS < N, f"BENCH_REPS={REPS} must be < BENCH_N={N}"
 
     def fresh_instances(k):
         return jax.block_until_ready([_roll(a, b, i + 1) for i in range(k)])
@@ -127,6 +134,14 @@ def run_stage(stage: str):
     z = agg(a, b)
     jax.block_until_ready(z)
     log(f"[{stage}] warmup (compile) {time.time()-t:.1f}s")
+    # digest of the warmup aggregation (same seed-1177 instance in every
+    # stage): the parent cross-checks fused-TPU == per-step == hermetic-CPU
+    # bit-exactly, so kernel correctness on REAL hardware rides the driver
+    # artifact every round (VERDICT r3 next-6)
+    import hashlib
+    import numpy as np
+    dig = hashlib.sha256(
+        np.asarray(jax.device_get(z)).tobytes()).hexdigest()[:16]
 
     insts = fresh_instances(REPS)
     t = time.time()
@@ -136,7 +151,8 @@ def run_stage(stage: str):
     dt = (time.time() - t) / REPS
     log(f"[{stage}] steady state: {dt*1000:.1f} ms per n={N} aggregation")
     print("RESULT " + json.dumps(
-        {"stage": stage, "sec": dt, "n": N, "backend": jax.default_backend()}),
+        {"stage": stage, "sec": dt, "n": N, "digest": dig,
+         "backend": jax.default_backend()}),
         flush=True)
 
 
@@ -253,11 +269,26 @@ def main():
     if best is None:
         log("no stage completed within budget")
         raise SystemExit(1)
+    # cross-engine selftest: every n=N stage aggregates the SAME instance
+    # through an independent engine (fused TPU kernels / per-step kernels +
+    # host C++ final exp / hermetic XLA:CPU); bit-equal digests assert
+    # whole-kernel correctness on real hardware in the driver artifact
+    digs = {c.name: c.result["digest"] for c in children
+            if c.result and c.result.get("n") == N and "digest" in c.result}
+    selftest = None
+    if len(digs) >= 2:
+        selftest = len(set(digs.values())) == 1
+        print(json.dumps(
+            {"selftest": "aggregation engines bit-equal", "ok": selftest,
+             "engines": sorted(digs)}), flush=True)
     # final line = the headline n=128 metric (the driver parses the LAST line)
-    extra = None
+    extra = {}
     if protocol is not None and protocol.result:
-        extra = {k: v for k, v in protocol.result.items() if k != "stage"}
-    emit(best, extra=extra)
+        extra = {k: v for k, v in protocol.result.items()
+                 if k not in ("stage", "digest")}
+    if selftest is not None:
+        extra["selftest_ok"] = selftest
+    emit(best, extra=extra or None)
     return
 
 

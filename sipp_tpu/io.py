@@ -20,9 +20,15 @@ def save_proof(path: str, a_g1, b_g2, proof):
 
 
 def load_proof(path: str):
+    """Load an instance + proof npz; limb-validates the proof on load (the
+    reference's typed-deserialization guarantee — sipp_verify re-validates
+    the instance points on entry, so garbage files fail fast either way)."""
     import jax.numpy as jnp
 
     z = np.load(path)
+    from .protocol import validate
+
+    validate.check_limbs(z["proof"], "proof")
     return (jnp.asarray(z["a"]), jnp.asarray(z["b"]), jnp.asarray(z["proof"]))
 
 

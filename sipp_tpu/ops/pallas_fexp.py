@@ -17,12 +17,19 @@ tested bit-exact against final_exp in tests/test_pallas.py.
 
 Layouts: transposed (ops/tmul.py) — limbs on sublanes, batch on lanes.
 The whole exponent schedule is STATIC (p-2, the BN parameter x, and the
-lambda addition-chain tape are compile-time constants), so the kernel is
-fully unrolled where it pays: the x-power chains and the Fermat inversion
-run as squaring chains + stacked set-bit product trees (tmul.pow_tree, ~2x
-less serial depth than square-and-multiply), and the tape runs with static
-register names and statically selected conj/Frobenius post-ops instead of
-a scratch register file with dynamic indexing.
+lambda addition-chain tape are compile-time constants).  Round-4 IR layout
+(the round-3 fully-unrolled kernel serialized to 7.8 MB of StableHLO and
+dominated the whole-program tunnel compile, VERDICT r3 next-1): everything
+serial now rides fori_loops over VMEM register files with dynamic indexing
+(the pow_tree store/load pattern, which Mosaic supports):
+  * the three x-power chains are ONE fori_loop k=0..2 over a 12-slot Fq12
+    register file (regs[k+1] = regs[k]^x), each chain a fori_loop squaring
+    chain + one static stacked set-bit product tree (~2x less serial depth
+    than square-and-multiply);
+  * lambda-tape rows 0..22 (no post-ops) are ONE fori_loop reading
+    (dst, s1, s2) from SMEM; only the 7 tail rows with conj/Frobenius
+    post-ops stay unrolled, keeping the post-op selection compile-time.
+Value-identical to the unrolled form (same multiplies in the same order).
 """
 
 import functools
@@ -143,37 +150,82 @@ def fq12_inv(a):
     return jnp.stack([fq6_mul(a0, tt), t.neg(fq6_mul(a1, tt))], axis=-5)
 
 
-def _powx(v):
-    """v^x (x = BN parameter, static 63-bit exponent): 62 cyclotomic
-    squarings + one stacked 28-leaf product tree (tmul.pow_tree)."""
-    return t.pow_tree(v, _X_BITS, sqrfn=fq12_cyclo_sqr, mulfn=fq12_mul)
+# chain index j of the x squaring chain holds v^(2^j); set bits of x sit at
+# j = nbits-1-k (pow_tree convention); x's MSB makes j = nbits-1 the last
+_X_NBITS = len(_X_BITS)
+_X_SET_POWS = [_X_NBITS - 1 - k for k in range(_X_NBITS) if _X_BITS[k]]
+
+
+def _powx_ref(v, sq_ref):
+    """v^x (x = BN parameter, static 63-bit exponent): a fori_loop of 62
+    cyclotomic squarings stored to the caller's VMEM scratch + one static
+    stacked 28-leaf set-bit product tree (pow_tree's schedule, scratch
+    hoisted so the whole thing can sit inside an outer fori_loop)."""
+
+    def body(i, s):
+        sq_ref[pl.ds(i, 1)] = s[None]
+        return fq12_cyclo_sqr(s)
+
+    last = jax.lax.fori_loop(0, _X_NBITS - 1, body, v)
+    vals = [last if j == _X_NBITS - 1 else sq_ref[pl.ds(j, 1)][0]
+            for j in _X_SET_POWS]
+    while len(vals) > 1:
+        h = len(vals) // 2
+        prod = fq12_mul(jnp.stack(vals[:h]), jnp.stack(vals[h:2 * h]))
+        vals = [prod[i] for i in range(h)] + vals[2 * h:]
+    return vals[0]
+
+
+# Tape split: rows 0..22 have no post-op (one fori_loop); the 7 tail rows
+# keep their conj/frob post-ops compile-time static.
+_TAPE_NLOOP = 23
 
 
 # ------------------------------------------------------------------ kernel
 
-def _fexp_kernel(c_ref, frob_ref, f_ref, o_ref):
+def _fexp_kernel(c_ref, frob_ref, tape_ref, f_ref, o_ref, regs_ref, sq_ref):
+    tape = _tape()
+    assert not tape[:_TAPE_NLOOP, 3].any() and tape[_TAPE_NLOOP:, 0].size == 7
     with t.bound_consts(c_ref[:]):
         frob = frob_ref[:]
         f = f_ref[:]
         # easy part: g = (conj(f) * f^-1)^(p^2) * (conj(f) * f^-1)
         g = fq12_mul(fq12_conj(f), fq12_inv(f))
         g = fq12_mul(fq12_frob(g, frob, 2), g)
-        # register file with STATIC names: 0=g, 1=g^x, 2=g^(x^2), 3=g^(x^3),
-        # 4..11 tape scratch; the tape and its conj/frob post-ops are
-        # compile-time constants, so no dynamic indexing / where-selects
-        regs = {0: g}
-        for k in (1, 2, 3):
-            regs[k] = _powx(regs[k - 1])
-        for dst, s1, s2, post in _tape().tolist():
-            r = fq12_mul(regs[s1], regs[s2])
+        # 12-slot register file: 0=g, 1=g^x, 2=g^(x^2), 3=g^(x^3), 4..11
+        # tape scratch
+        regs_ref[pl.ds(0, 1)] = g[None]
+
+        def chain(k, c):
+            regs_ref[pl.ds(k + 1, 1)] = (
+                _powx_ref(regs_ref[pl.ds(k, 1)][0], sq_ref)[None])
+            return c
+
+        jax.lax.fori_loop(0, 3, chain, 0)
+
+        def tape_step(i, c):
+            # tape_ref: flat int32 SMEM (3 words per row: dst, s1, s2)
+            v = fq12_mul(regs_ref[pl.ds(tape_ref[3 * i + 1], 1)][0],
+                         regs_ref[pl.ds(tape_ref[3 * i + 2], 1)][0])
+            regs_ref[pl.ds(tape_ref[3 * i], 1)] = v[None]
+            return c
+
+        jax.lax.fori_loop(0, _TAPE_NLOOP, tape_step, 0)
+
+        # static tail (posts are compile-time): registers by name
+        def r(i):
+            return regs_ref[pl.ds(i, 1)][0]
+
+        for dst, s1, s2, post in tape[_TAPE_NLOOP:].tolist():
+            v = fq12_mul(r(s1), r(s2))
             if post == 1:
-                r = fq12_conj(r)
+                v = fq12_conj(v)
             elif post == 2:
-                r = fq12_frob(r, frob, 1)
+                v = fq12_frob(v, frob, 1)
             elif post == 3:
-                r = fq12_frob(r, frob, 2)
-            regs[dst] = r
-        o_ref[:] = fq12_mul(regs[5], fq12_frob(regs[0], frob, 3))
+                v = fq12_frob(v, frob, 2)
+            regs_ref[pl.ds(dst, 1)] = v[None]
+        o_ref[:] = fq12_mul(r(5), fq12_frob(r(0), frob, 3))
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -191,21 +243,28 @@ def final_exp_fused(f, interpret: bool = False):
     assert f.ndim == 5 and f.shape[0] <= 16, "fexp kernel is a small-B tail"
     B = f.shape[0]
     ft = f[..., None]                     # (B, 2, 3, 2, L, 1)
+    elt = (B, 2, 3, 2, L, 1)
     out = pl.pallas_call(
         _fexp_kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # consts
             pl.BlockSpec(memory_space=pltpu.VMEM),   # frobenius table
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # lambda tape (flat)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # f
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 2, 3, 2, L, 1), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct(elt, jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((12,) + elt, jnp.uint32),           # register file
+            pltpu.VMEM((_X_NBITS - 1,) + elt, jnp.uint32),  # x-chain powers
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
         jnp.asarray(t.CONSTS_NP),
         jnp.asarray(FROB_NP),
+        jnp.asarray(_tape()[:, :3].reshape(-1), jnp.int32),
         ft,
     )
     return out[..., 0]

@@ -53,6 +53,17 @@ MILLER_CHUNK = int(os.environ.get("SIPP_MILLER_CHUNK_XLA", "1024"))
 # is overridable for n >= 256 workloads: SIPP_MILLER_CHUNK=256/512 amortizes
 # the per-launch fixed cost over more lanes (NOTES_NEXT.md perf item 1).
 MILLER_FUSED_CHUNK = int(os.environ.get("SIPP_MILLER_CHUNK", "128"))
+# Auto-pick (VERDICT r3 next-5): wide aggregations amortize the per-launch
+# fixed cost over 256 lanes.  SIPP_MILLER_CHUNK pins the chunk outright;
+# SIPP_MILLER_CHUNK_AUTO_N moves the cutover (set huge to disable the
+# auto-pick without a trace-path edit).
+_CHUNK_AUTO_N = int(os.environ.get("SIPP_MILLER_CHUNK_AUTO_N", "2048"))
+
+
+def _fused_chunk(n: int) -> int:
+    if "SIPP_MILLER_CHUNK" in os.environ:
+        return MILLER_FUSED_CHUNK
+    return 256 if n >= _CHUNK_AUTO_N else MILLER_FUSED_CHUNK
 
 
 def _fused_ok():
@@ -451,7 +462,7 @@ def _inner_f(a_g1, b_g2, pad_to):
             [b_g2, jnp.zeros((pad_to - n,) + b_g2.shape[1:], jnp.uint32)], 0)
         n = pad_to
     fused = _fused_ok()
-    chunk = MILLER_FUSED_CHUNK if fused else MILLER_CHUNK
+    chunk = _fused_chunk(n) if fused else MILLER_CHUNK
     if fused:
         from ..ops import pallas_miller
 

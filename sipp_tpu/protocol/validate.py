@@ -1,0 +1,132 @@
+"""Input/proof validation: on-curve, subgroup, and canonical-limb checks.
+
+The reference gets these guarantees from typed deserialization — arkworks'
+`G1Affine`/`G2Affine` enforce on-curve + subgroup on construction
+(/root/reference/src/prover_native.rs:3) and the verifier circuit
+range-asserts every public-input limb
+(/root/reference/src/verifier_circuit.rs:258-266).  This framework's wire
+format is raw uint32 limb arrays, so `sipp_verify` / `io.load_proof` call
+these checks explicitly (VERDICT r3 missing-2):
+
+  * limbs canonical: every u32 is a 16-bit limb and every Fq value < p
+    (host-side, on arrays that are transferred for transcript decoding
+    anyway — garbage limbs would otherwise flow silently through the
+    Montgomery arithmetic);
+  * A on-curve: y^2 == x^3 + 3 — BN254 G1 has cofactor 1, so on-curve
+    implies subgroup membership;
+  * B on-curve on the twist (y^2 == x^3 + 3/(9+u)) AND in the r-torsion:
+    [r]Q == O via a complete-addition ladder (E'(Fq2) has a nontrivial
+    cofactor; the incomplete fold ladder must not be trusted on
+    adversarial points, so this ladder uses the complete mixed add).
+
+(0, 0) encodes the point at infinity and is accepted (it contributes 1 to
+pairing products, matching arkworks' infinity flag semantics).
+
+Both batched curve checks are ONE fused device program each; the limb
+checks are numpy on the host copy.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import hostref, params
+from ..curves import G1, G2, scalar_to_bits
+from ..fields import FQ, bigint, tower
+
+F = FQ
+
+
+def _err(msg):
+    from .verifier import VerificationError
+
+    return VerificationError(msg)
+
+
+# ------------------------------------------------------------ limb checks
+
+def check_limbs(arr, what: str):
+    """Raise unless every element of (..., L) uint32 limb arrays holds
+    16-bit limbs encoding a canonical (< p) Fq value.  arr: numpy or device
+    array whose last axis is the limb axis."""
+    np_arr = np.asarray(jax.device_get(arr))
+    if np_arr.size == 0:
+        return
+    if np_arr.max() >= 1 << 16:
+        raise _err(f"{what}: non-16-bit limb")
+    vals = bigint.limbs16_to_ints_fast(np_arr.reshape(-1, F.L))
+    if any(v >= F.p for v in vals):
+        raise _err(f"{what}: non-canonical Fq limb value (>= p)")
+
+
+# ----------------------------------------------------- batched curve checks
+
+_B1 = F.encode([params.B_G1])[0]                      # 3, Montgomery
+_B2 = tower.fq2_encode(hostref.B2)                    # 3/(9+u), Montgomery
+
+
+@jax.jit
+def _instance_ok(a_g1, b_g2):
+    """(ok_a, ok_b_curve) per lane; (0,0) infinity lanes pass."""
+    x, y = a_g1[..., 0, :], a_g1[..., 1, :]
+    v = F.mul(jnp.stack([y, x]), jnp.stack([y, x]))
+    y2, xx = v[0], v[1]
+    lhs = F.sub(y2, F.add(F.mul(xx, x), _B1))
+    inf_a = jnp.all(a_g1 == 0, axis=(-1, -2))
+    ok_a = jnp.logical_or(inf_a, F.is_zero(lhs))
+
+    X, Y = b_g2[..., 0, :, :], b_g2[..., 1, :, :]
+    v = tower.fq2_mul(jnp.stack([Y, X]), jnp.stack([Y, X]))
+    Y2, XX = v[0], v[1]
+    LHS = tower.fq2_sub(Y2, tower.fq2_add(tower.fq2_mul(XX, X), _B2))
+    inf_b = jnp.all(b_g2 == 0, axis=(-1, -2, -3))
+    ok_b = jnp.logical_or(inf_b, tower.fq2_is_zero(LHS))
+    return ok_a, ok_b
+
+
+@jax.jit
+def _g2_in_subgroup(b_g2):
+    """[r]Q == O per lane via the complete mixed-addition ladder.  (0, 0)
+    infinity lanes pass by explicit mask (add_mixed treats the (0, 0)
+    affine encoding as an ordinary — off-curve — point, which the on-curve
+    check already screened; here it would otherwise poison the ladder)."""
+    bits = jnp.asarray(scalar_to_bits(params.R))
+    acc0 = G2.jac_infinity(b_g2.shape[:-3])
+
+    def body(acc, bit):
+        acc = G2.dbl(acc)
+        added = G2.add_mixed(acc, b_g2, handle_double=True)
+        return jnp.where(G2._expand_pt(bit != 0), added, acc), None
+
+    out, _ = jax.lax.scan(body, acc0, bits)
+    inf_b = jnp.all(b_g2 == 0, axis=(-1, -2, -3))
+    return jnp.logical_or(inf_b, G2.is_infinity(out))
+
+
+def check_instance(a_g1, b_g2, subgroup: bool = True):
+    """Validate a SIPP instance (A, B): canonical limbs, on-curve, and
+    (subgroup=True) G2 r-torsion.  Raises VerificationError."""
+    check_limbs(a_g1, "A")
+    check_limbs(b_g2, "B")
+    ok_a, ok_b = jax.device_get(_instance_ok(a_g1, b_g2))
+    if not ok_a.all():
+        raise _err(f"A: point off curve at index {int(np.flatnonzero(~ok_a)[0])}")
+    if not ok_b.all():
+        raise _err(f"B: point off twist curve at index {int(np.flatnonzero(~ok_b)[0])}")
+    if subgroup:
+        ok_s = jax.device_get(_g2_in_subgroup(b_g2))
+        if not ok_s.all():
+            raise _err(
+                f"B: point outside the r-torsion subgroup at index "
+                f"{int(np.flatnonzero(~ok_s)[0])}")
+
+
+def check_proof(proof) -> np.ndarray:
+    """Validate a proof array's limbs ((2*log2(n)+1, 2, 3, 2, L) Fq12s);
+    returns the validated host numpy copy (callers reuse it for decoding —
+    one transfer)."""
+    np_proof = np.asarray(jax.device_get(proof))
+    check_limbs(np_proof, "proof")
+    return np_proof

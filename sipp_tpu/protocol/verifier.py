@@ -39,13 +39,19 @@ def sipp_verify(a_g1, b_g2, proof) -> SIPPStatement:
     assert n & (n - 1) == 0 and n >= 1
     assert proof.shape[0] == 2 * (n.bit_length() - 1) + 1
 
+    # adversarial-input validation (reference parity: arkworks' typed
+    # deserialization + the circuit's limb range asserts — see validate.py)
+    from . import validate
+    validate.check_instance(a_g1, b_g2)
+
     a_host = curves.g1_decode(a_g1)
     b_host = curves.g2_decode(b_g2)
     tr = Transcript()
     tr.append_points(a_host, b_host)
 
-    # one transfer: whole proof to host, u64 Montgomery + canonical ints
-    proof_u = native.fq12_dev_to_u64(jax.device_get(proof))
+    # one transfer: whole proof to host (validated), u64 Montgomery +
+    # canonical ints
+    proof_u = native.fq12_dev_to_u64(validate.check_proof(proof))
     proof_ints = [native.fq12_u64_to_tower_ints(x) for x in proof_u]
     use_native = native.get_lib() is not None
 
