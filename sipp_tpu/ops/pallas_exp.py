@@ -29,7 +29,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..fields import FQ
 from . import tmul as t
-from .pallas_fexp import fq12_mul
+# CIOS-form fq12_mul (pallas_miller): this kernel is per-lane THROUGHPUT
+# work, where CIOS's lower op count wins; pallas_fexp's fq12_mul switched
+# to the latency-form SOS multiply for its serial B=1 tail in round 4
+from .pallas_miller import fq12_mul
 from .pallas_fold import (_FqAd, _Fq2Ad, _add_mixed, _dbl, _sel, _to_affine)
 
 L = FQ.L

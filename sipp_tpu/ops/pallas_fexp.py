@@ -43,9 +43,80 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import params
 from ..fields import FQ, tower
 from . import tmul as t
-from .pallas_miller import fq6_mul, fq6_mul_by_v
 
 L = FQ.L
+
+
+# ---------------------------------------------------- latency-form Fq mul
+# This kernel is LATENCY-bound (B=1, ~470 dependent stages); the round-4
+# probe (scratch/r4_latency_probe.py) measured the SOS multiply at 3.35 us
+# vs CIOS's 5.24 us per dependent op — the three SOS product passes have no
+# cross-iteration dependency, unlike CIOS's serial accumulator, so Mosaic
+# schedules them shallower.  Value-identical (same canonical Montgomery
+# output; tmul._mul_impl docstring), so the swap is bit-invisible.  The
+# throughput-bound Miller kernels keep CIOS (fewer total vector ops).
+
+def _mul_l(a, b):
+    """t.mul's stacked-lead lane-merge wrapper around the SOS core."""
+    if a.shape != b.shape:
+        a, b = jnp.broadcast_arrays(a, b)
+    lead = a.shape[:-2]
+    B = a.shape[-1]
+    S = int(np.prod(lead)) if lead else 1
+    if S > 1 and B == 1:
+        ar = jnp.transpose(a.reshape(S, L), (1, 0))
+        br = jnp.transpose(b.reshape(S, L), (1, 0))
+        r = t._mul_impl_sos(ar, br)
+        return jnp.transpose(r, (1, 0)).reshape(a.shape)
+    return t._mul_impl_sos(a, b)
+
+
+def fq2_mul_l(a, b):
+    """t.fq2_mul with the latency-form mul (same lazy cross sums)."""
+    a0, a1 = a[..., 0, :, :], a[..., 1, :, :]
+    b0, b1 = b[..., 0, :, :], b[..., 1, :, :]
+    x = jnp.stack([a0, a1, t.add_lazy(a0, a1)])
+    y = jnp.stack([b0, b1, t.add_lazy(b0, b1)])
+    v = _mul_l(x, y)
+    c0 = t.sub(v[0], v[1])
+    c1 = t.sub(v[2], t.add(v[0], v[1]))
+    return jnp.stack([c0, c1], axis=-3)
+
+
+def _inv_l(a):
+    """Fermat inversion with the latency-form mul (pow_tree schedule)."""
+    return t.pow_tree(a, t._PM2_BITS_NP,
+                      sqrfn=lambda s: _mul_l(s, s), mulfn=_mul_l)
+
+
+def fq2_inv_l(a):
+    a0, a1 = a[..., 0, :, :], a[..., 1, :, :]
+    sq = _mul_l(jnp.stack([a0, a1]), jnp.stack([a0, a1]))
+    ninv = _inv_l(t.add(sq[0], sq[1]))
+    return jnp.stack([_mul_l(a0, ninv), t.neg(_mul_l(a1, ninv))], axis=-3)
+
+
+def fq6_mul(a, b):
+    """Toom/Karatsuba Fq6 multiply (pallas_miller.fq6_mul, latency mul)."""
+    a0, a1, a2 = a[..., 0, :, :, :], a[..., 1, :, :, :], a[..., 2, :, :, :]
+    b0, b1, b2 = b[..., 0, :, :, :], b[..., 1, :, :, :], b[..., 2, :, :, :]
+    x = jnp.stack([a0, a1, a2, t.add(a1, a2), t.add(a0, a1), t.add(a0, a2)])
+    y = jnp.stack([b0, b1, b2, t.add(b1, b2), t.add(b0, b1), t.add(b0, b2)])
+    v = fq2_mul_l(x, y)
+    v0, v1, v2, t12, t01, t02 = (v[i] for i in range(6))
+    c0 = t.add(v0, t.fq2_mul_xi(t.sub(t12, t.add(v1, v2))))
+    c1 = t.add(t.sub(t01, t.add(v0, v1)), t.fq2_mul_xi(v2))
+    c2 = t.add(t.sub(t02, t.add(v0, v2)), v1)
+    return jnp.stack([c0, c1, c2], axis=-4)
+
+
+def fq6_mul_by_v(a):
+    """v * (c0 + c1 v + c2 v^2) = xi*c2 + c0 v + c1 v^2."""
+    return jnp.concatenate(
+        [t.fq2_mul_xi(a[..., 2, :, :, :])[..., None, :, :, :],
+         a[..., 0:2, :, :, :]],
+        axis=-4,
+    )
 
 # Frobenius constants pi^1..3 as one (3, 6, 2, L) array (Montgomery form),
 # same coefficient order as tower._FROB_C (i-major over (w^i v^j)).
@@ -90,7 +161,7 @@ def fq12_cyclo_sqr(g):
     z1 = g[..., 1, 1, :, :, :]; z5 = g[..., 1, 2, :, :, :]
     x = jnp.stack([z0, z1, z0, z2, z3, z2, z4, z5, z4])
     y = jnp.stack([z0, z1, z1, z2, z3, z3, z4, z5, z5])
-    v = t.fq2_mul(x, y)
+    v = fq2_mul_l(x, y)
 
     # Fp4 squarings for the three pairs at once (one stacked stage each):
     # t = a^2 + xi b^2, u = 2ab.
@@ -120,14 +191,14 @@ def fq12_frob(a, frob, k: int):
     c = a.reshape(*a.shape[:-5], 6, 2, L, a.shape[-1])
     # explicit broadcast: leading stack axes (the B>1 fexp batch) otherwise
     # misalign against the (6, 2, L, 1) constant table
-    out = t.fq2_mul(c, jnp.broadcast_to(frob[k - 1][..., None], c.shape))
+    out = fq2_mul_l(c, jnp.broadcast_to(frob[k - 1][..., None], c.shape))
     return out.reshape(a.shape)
 
 
 def fq6_inv(a):
     """Mirror of tower.fq6_inv (one Fq2 inversion)."""
     a0, a1, a2 = a[..., 0, :, :, :], a[..., 1, :, :, :], a[..., 2, :, :, :]
-    prods = t.fq2_mul(
+    prods = fq2_mul_l(
         jnp.stack([a0, a1, a2, a1, a0, a0]),
         jnp.stack([a0, a1, a2, a2, a1, a2]),
     )
@@ -135,10 +206,10 @@ def fq6_inv(a):
     A = t.sub(s0, t.fq2_mul_xi(p12))
     B = t.sub(t.fq2_mul_xi(s2), p01)
     C = t.sub(s1, p02)
-    u = t.fq2_mul(jnp.stack([a0, a2, a1]), jnp.stack([A, B, C]))
+    u = fq2_mul_l(jnp.stack([a0, a2, a1]), jnp.stack([A, B, C]))
     tt = t.add(u[0], t.fq2_mul_xi(t.add(u[1], u[2])))
-    tinv = t.fq2_inv(tt)
-    out = t.fq2_mul(jnp.stack([A, B, C]), tinv[None])
+    tinv = fq2_inv_l(tt)
+    out = fq2_mul_l(jnp.stack([A, B, C]), tinv[None])
     return jnp.moveaxis(out, 0, -4)
 
 

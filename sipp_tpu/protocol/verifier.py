@@ -60,8 +60,7 @@ def sipp_verify(a_g1, b_g2, proof) -> SIPPStatement:
     original_z_ints = z_ints
     idx -= 1
     tr.append_fq12(z_ints)
-    if not use_native:
-        z_dev = proof[len(proof) - 1]
+    exp_rows = []   # no-native-lib fallback: (proof_idx, exponent) per exp
 
     from ..pairing.ate import _fused_ok
     from .prover import (_floor, _fold_halves, _fold_round_fused,
@@ -89,12 +88,26 @@ def sipp_verify(a_g1, b_g2, proof) -> SIPPStatement:
             t = native.fq12_mul(native.fq12_pow(proof_u[idx], x), z_u)
             z_u = native.fq12_mul(t, native.fq12_pow(proof_u[idx - 1], x_inv))
         else:
-            zl_x = tower.fq12_pow_bits(proof[idx], scalar_to_bits(x))
-            zr_xi = tower.fq12_pow_bits(proof[idx - 1], scalar_to_bits(x_inv))
-            z_dev = tower.fq12_mul(zl_x, tower.fq12_mul(z_dev, zr_xi))
+            exp_rows += [(idx, x), (idx - 1, x_inv)]
         idx -= 2
         sched.append((m, scalar_to_bits(x), scalar_to_bits(x_inv)))
         n = m
+
+    if not use_native:
+        z_dev = proof[len(proof) - 1]
+        if exp_rows:
+            # batched fallback: the final Z is Z * prod_k Z_L,k^x_k *
+            # Z_R,k^(x_k^-1) (the per-round chain is just a commutative
+            # product), so ALL 2*log2(n) single-element exps run as ONE
+            # lane-batched device program + one product tree — instead of
+            # 2*log2(n) serial latency-bound scans (VERDICT r3 next-9).
+            bases = proof[np.asarray([i for i, _ in exp_rows])]
+            bits = jnp.asarray(
+                np.stack([scalar_to_bits(e) for _, e in exp_rows], axis=1))
+            powers = tower.fq12_pow_bits(bases, bits)
+            from ..pairing.ate import _product_tree
+            z_dev = _product_tree(
+                jnp.concatenate([z_dev[None], powers], 0))
 
     # phase 2 (device): the folds.  Wide rounds (width above the shared
     # floor) run individually; the fixed-width tail is ONE scanned program.
