@@ -47,9 +47,12 @@ def save(k, v):
     print(f"RESULT {k} = {v}", flush=True)
 
 
-def chain_kernel(body):
+def chain_kernel(body, lat=False):
+    import sipp_tpu.ops.tmul_lat as lt
+
     def kern(c_ref, x_ref, o_ref):
-        with t.bound_consts(c_ref[:]):
+        ctx = lt.bound_consts(c_ref[:]) if lat else t.bound_consts(c_ref[:])
+        with ctx:
             o_ref[:] = jax.lax.fori_loop(
                 0, K, lambda i, v: body(v), x_ref[:])
     return kern
@@ -57,21 +60,29 @@ def chain_kernel(body):
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def run(name, x):
+    import sipp_tpu.ops.tmul_lat as lt
+
     body = {
         "mulchain_cios": lambda v: t.mul(v, v),
         "mulchain_sos": lambda v: t._mul_impl_sos(v, v),
         "cyclochain": PF.fq12_cyclo_sqr,
         "fq12chain": lambda v: PF.fq12_mul(v, v),
+        # tmul_lat flat-expansion forms (L=17 domain inputs)
+        "lat_cyclochain": lt.fq12_cyclo_sqr,
+        "lat_fq12chain": lambda v: lt.fq12_mul(v, v),
+        "lat_mulchain": lambda v: lt.mul(v, v),
     }[name]
+    lat = name.startswith("lat_")
+    consts = lt.CONSTS_NP if lat else t.CONSTS_NP
     return pl.pallas_call(
-        chain_kernel(body),
+        chain_kernel(body, lat),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(jnp.asarray(t.CONSTS_NP), x)
+    )(jnp.asarray(consts), x)
 
 
 def timeit(name, x, reps=30):
@@ -94,8 +105,16 @@ def main():
     fq1 = jnp.asarray(np.asarray(
         jax.device_get(FQ.encode(xs[:1])).reshape(L, 1)))
     f12 = jnp.transpose(FQ.encode(xs).reshape(1, 2, 3, 2, L), (1, 2, 3, 4, 0))
+    # L17-domain inputs: zero-extend one limb (value < p: already "clean")
+    z1 = jnp.zeros((1, 1), jnp.uint32)
+    fq1_17 = jnp.concatenate([fq1, z1], axis=0)
+    z12 = jnp.zeros((2, 3, 2, 1, 1), jnp.uint32)
+    f12_17 = jnp.concatenate([f12, z12], axis=-2)
     for name, x in [("mulchain_cios", fq1), ("mulchain_sos", fq1),
-                    ("cyclochain", f12), ("fq12chain", f12)]:
+                    ("cyclochain", f12), ("fq12chain", f12),
+                    ("lat_mulchain", fq1_17),
+                    ("lat_cyclochain", f12_17),
+                    ("lat_fq12chain", f12_17)]:
         try:
             timeit(name, x)
         except Exception as e:

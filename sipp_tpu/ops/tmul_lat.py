@@ -250,3 +250,312 @@ def fq2_conj(a):
     a0, a1 = a[..., 0, :, :], a[..., 1, :, :]
     na1 = canon_k(sub(jnp.zeros_like(a1), a1), 8)
     return jnp.stack([a0, na1], axis=-3)
+
+
+# ===================================================================
+# Flat-expansion Fq12 layer: each tower multiply runs as
+#   (1) ONE stacked norm of the Fq-lane multiplicand stacks (linear
+#       pre-combinations of the input coefficients, built raw),
+#   (2) ONE stacked Montgomery multiply over all product lanes,
+#   (3) raw-column linear reconstruction of the output coefficients
+#       (negative terms ride coeff * (2^256-complement + CSUB)),
+#   (4) ONE two-stage exit canonicalization (fold the 2^256-overflow
+#       limb back via 2^256 mod p, then canon_k).
+# The lane tables (which linear combination feeds each multiplicand
+# lane; which signed combination of products forms each output) are
+# DERIVED at import time by running the production tower formulas
+# (pallas_fexp/pallas_miller structure) over a symbolic Fq whose
+# elements are {term: coeff} dicts — no hand-derived coefficient
+# tables to get wrong, and differential tests pin the result.
+# ===================================================================
+
+class _Sym:
+    """Symbolic Fq element: {basis_key: int_coeff} linear combination."""
+
+    __slots__ = ("d",)
+
+    def __init__(self, d):
+        self.d = {k: v for k, v in d.items() if v}
+
+    @staticmethod
+    def var(key):
+        return _Sym({key: 1})
+
+    def __add__(self, o):
+        d = dict(self.d)
+        for k, v in o.d.items():
+            d[k] = d.get(k, 0) + v
+        return _Sym(d)
+
+    def __sub__(self, o):
+        d = dict(self.d)
+        for k, v in o.d.items():
+            d[k] = d.get(k, 0) - v
+        return _Sym(d)
+
+    def scale(self, c):
+        return _Sym({k: c * v for k, v in self.d.items()})
+
+
+class _SymFq2:
+    """Symbolic Fq2: pair of _Sym; mirrors the tmul fq2 helpers."""
+
+    def __init__(self, c0, c1):
+        self.c = (c0, c1)
+
+    def __add__(self, o):
+        return _SymFq2(self.c[0] + o.c[0], self.c[1] + o.c[1])
+
+    def __sub__(self, o):
+        return _SymFq2(self.c[0] - o.c[0], self.c[1] - o.c[1])
+
+    def double(self):
+        return _SymFq2(self.c[0].scale(2), self.c[1].scale(2))
+
+    def mul_xi(self):
+        return _SymFq2(self.c[0].scale(9) - self.c[1],
+                       self.c[1].scale(9) + self.c[0])
+
+
+class _Expander:
+    """Collects Fq2 products of linear input combinations; karatsuba at
+    the Fq level: each Fq2 product (x, y) contributes THREE Fq lanes
+    (x0*y0, x1*y1, (x0+x1)*(y0+y1)) and reconstructs as
+    c0 = l0 - l1, c1 = l2 - l0 - l1."""
+
+    def __init__(self):
+        self.lanes = []          # (x_sym, y_sym) Fq multiplicand pairs
+
+    def fq2_mul(self, x, y):
+        i = len(self.lanes)
+        self.lanes += [
+            (x.c[0], y.c[0]),
+            (x.c[1], y.c[1]),
+            (x.c[0] + x.c[1], y.c[0] + y.c[1]),
+        ]
+        l0, l1, l2 = (_Sym.var(("v", i + k)) for k in range(3))
+        return _SymFq2(l0 - l1, l2 - l0 - l1)
+
+
+def _derive_fq12_mul():
+    """Lane tables for fq12_mul: 3-way fq6 karatsuba of 6-way fq2
+    toom-karatsuba (mirrors pallas_fexp.fq12_mul / fq6_mul exactly)."""
+    ex = _Expander()
+
+    def var6(name):
+        return [
+            _SymFq2(_Sym.var((name, j, 0)), _Sym.var((name, j, 1)))
+            for j in range(3)
+        ]
+
+    def fq6_mul(a, b):
+        x = [a[0], a[1], a[2], a[1] + a[2], a[0] + a[1], a[0] + a[2]]
+        y = [b[0], b[1], b[2], b[1] + b[2], b[0] + b[1], b[0] + b[2]]
+        v = [ex.fq2_mul(xi_, yi_) for xi_, yi_ in zip(x, y)]
+        v0, v1, v2, t12, t01, t02 = v
+        c0 = v0 + (t12 - (v1 + v2)).mul_xi()
+        c1 = (t01 - (v0 + v1)) + v2.mul_xi()
+        c2 = (t02 - (v0 + v2)) + v1
+        return [c0, c1, c2]
+
+    def fq6_mul_by_v(a):
+        return [a[2].mul_xi(), a[0], a[1]]
+
+    a0, a1 = var6("a0"), var6("a1")
+    b0, b1 = var6("b0"), var6("b1")
+    s_a = [x + y for x, y in zip(a0, a1)]
+    s_b = [x + y for x, y in zip(b0, b1)]
+    v0 = fq6_mul(a0, b0)
+    v1 = fq6_mul(a1, b1)
+    v2 = fq6_mul(s_a, s_b)
+    c0 = [x + y for x, y in zip(v0, fq6_mul_by_v(v1))]
+    c1 = [v2[j] - (v0[j] + v1[j]) for j in range(3)]
+    outs = []
+    for half in (c0, c1):
+        for f2 in half:
+            outs += [f2.c[0], f2.c[1]]
+    return ex.lanes, outs
+
+
+def _derive_cyclo():
+    """Lane tables for the Granger-Scott cyclotomic squaring (mirrors
+    pallas_fexp.fq12_cyclo_sqr: products of the 9-lane z stack, outputs
+    3T +/- 2z linear in products AND inputs)."""
+    ex = _Expander()
+    z = [_SymFq2(_Sym.var(("z", i, 0)), _Sym.var(("z", i, 1)))
+         for i in range(6)]
+    z0, z4, z3, z2, z1, z5 = z[0], z[1], z[2], z[3], z[4], z[5]
+    pairs = [(z0, z0), (z1, z1), (z0, z1),
+             (z2, z2), (z3, z3), (z2, z3),
+             (z4, z4), (z5, z5), (z4, z5)]
+    v = [ex.fq2_mul(x, y) for x, y in pairs]
+    a2 = [v[0], v[3], v[6]]
+    b2 = [v[1], v[4], v[7]]
+    ab = [v[2], v[5], v[8]]
+    t_ = [x + y.mul_xi() for x, y in zip(a2, b2)]
+    u_ = [x.double() for x in ab]
+    # production wiring (pallas_fexp.fq12_cyclo_sqr): the stacked unpack
+    # (t0_, u0, s0) is the t-triple over pairs, (t1_, u1, s1) the u-triple;
+    # its T6 = [t0_, u0, s0, xi(s1), t1_, u1] is therefore
+    T6 = [t_[0], t_[1], t_[2], u_[2].mul_xi(), u_[0], u_[1]]
+    Z6 = [z0, z4, z3, z2, z1, z5]
+    r3 = [x.double() + x for x in T6]
+    d2 = [x.double() for x in Z6]
+    lo = [r3[k] - d2[k] for k in range(3)]
+    hi = [r3[3 + k] + d2[3 + k] for k in range(3)]
+    outs = []
+    for f2 in lo + hi:
+        outs += [f2.c[0], f2.c[1]]
+    return ex.lanes, outs
+
+
+def canon_big(cols, bound_p: float):
+    """Raw cols with value < bound_p * p -> canonical.  Small bounds use
+    canon_k directly; larger ones fold the 2^256-overflow limb back via
+    2^256 mod p (= the _TO16 constant, < 0.3p) until < ~8p remains —
+    each fold: one norm + one broadcast multiply-add, value-exact."""
+    while bound_p + 2 > 9:
+        limbs, _ = norm_raw(cols, NL)
+        idx = jax.lax.broadcasted_iota(
+            jnp.int32, limbs.shape, limbs.ndim - 2)
+        lo = jnp.where(idx == 16, 0, limbs)
+        h = limbs[..., 16:17, :]           # value h * 2^256, h < 2^16
+        cols = lo + h * _c(5)
+        bound_p = (1 << 256) / P + (bound_p * P / (1 << 256) + 1) * 0.3
+    return canon_k(cols, int(bound_p) + 2)
+
+
+def _index_of(key):
+    """Symbolic basis key -> (which_input, flat Fq index).  Fq2 coeff c of
+    the i-th Fq2 in a flat (..., 2*n2, NL, B) input sits at 2*i + c."""
+    if key[0] == "v":
+        return ("v", key[1])
+    name = key[0]
+    if name == "z":
+        return ("a", 2 * key[1] + key[2])
+    half = 0 if name in ("a0", "b0") else 6
+    src = "a" if name.startswith("a") else "b"
+    return (src, half + 2 * key[1] + key[2])
+
+
+def _exec_table(lanes, outs, a_flat, b_flat=None):
+    """Run a derived lane table: ONE stacked norm of the multiplicand
+    lanes, ONE stacked Montgomery multiply, raw linear reconstruction
+    (negative terms via coeff * (complement + CSUB)), ONE exit canon.
+    a_flat/b_flat: (n_coeff, NL, B) CLEAN (< 2p) 16-bit limb stacks.
+    Returns (n_out, NL, B) canonical (< p)."""
+    src = {"a": a_flat, "b": b_flat if b_flat is not None else a_flat}
+
+    def pick(which, i):
+        return src[which][..., i, :, :]      # coeff axis -3 (leading B ok)
+
+    def gather(sym):
+        acc = None
+        for key, c in sym.d.items():
+            which, i = _index_of(key)
+            term = pick(which, i)
+            term = term * np.uint32(c) if c != 1 else term
+            acc = term if acc is None else acc + term
+        return acc
+
+    x = jnp.stack([gather(xs) for xs, _ in lanes])
+    y = jnp.stack([gather(ys) for _, ys in lanes])
+    v = mul(norm(x), norm(y))
+
+    outs_cols = []
+    bounds = []
+    for sym in outs:
+        acc = None
+        ncsub = 0
+        bound = 0.0
+        for key, c in sym.d.items():
+            which, i = _index_of(key)
+            opnd = v[i] if which == "v" else pick(which, i)
+            if c > 0:
+                term = opnd * np.uint32(c) if c != 1 else opnd
+                bound += 2.0 * c
+            else:
+                idx = jax.lax.broadcasted_iota(
+                    jnp.int32, opnd.shape, opnd.ndim - 2)
+                comp = jnp.where(idx < 16, 0xFFFF - opnd, 0)
+                term = comp * np.uint32(-c) if c != -1 else comp
+                ncsub += -c
+                bound += 5.3 * (-c)
+            acc = term if acc is None else acc + term
+        if ncsub:
+            acc = acc + np.uint32(ncsub) * _c(3)
+            bound += 1.0
+        outs_cols.append(acc)
+        bounds.append(bound)
+    stacked = jnp.stack(outs_cols)
+    # out-coeff axis back to -3 so leading batch axes pass through
+    return jnp.moveaxis(canon_big(stacked, max(bounds)), 0, -3)
+
+
+_FQ12_LANES, _FQ12_OUTS = _derive_fq12_mul()
+_CYC_LANES, _CYC_OUTS = _derive_cyclo()
+
+
+def _to_flat(a):
+    """(..., 2, 3, 2, NL, B) -> (..., 12, NL, B)."""
+    return a.reshape(*a.shape[:-5], 12, *a.shape[-2:])
+
+
+def _from_flat(f):
+    return f.reshape(*f.shape[:-3], 2, 3, 2, *f.shape[-2:])
+
+
+def fq12_mul(a, b):
+    """Fq12 Karatsuba multiply, flat-expansion form: 54 product lanes,
+    one norm + one multiply + one exit canon.  a, b: (2, 3, 2, NL, B)
+    clean; returns canonical."""
+    out = _exec_table(_FQ12_LANES, _FQ12_OUTS, _to_flat(a), _to_flat(b))
+    return _from_flat(out)
+
+
+def fq12_cyclo_sqr(g):
+    """Granger-Scott cyclotomic squaring, flat-expansion form: 9 product
+    lanes, one norm + one multiply + one exit canon."""
+    return _from_flat(_exec_table(_CYC_LANES, _CYC_OUTS, _to_flat(g)))
+
+
+def neg_clean(x):
+    """-x mod p for CLEAN x (< 4p), canonical out: one stacked canon."""
+    return canon_k(sub(jnp.zeros_like(x), x), 8)
+
+
+def fq12_conj(a):
+    """f^(p^6): negate the w half.  a: (..., 2, 3, 2, NL, B) clean."""
+    return jnp.concatenate(
+        [a[..., 0:1, :, :, :, :], neg_clean(a[..., 1:2, :, :, :, :])],
+        axis=-5)
+
+
+def l17_mont_table(vals_l16_mont):
+    """Host helper: an L16-Montgomery uint32 limb table (..., 16) ->
+    L17-Montgomery 17-limb table (for constant inputs like the Frobenius
+    coefficients).  numpy, import/trace-time only."""
+    arr = np.asarray(vals_l16_mont, np.uint64)
+    flat = arr.reshape(-1, 16)
+    out = np.zeros((flat.shape[0], NL), np.uint32)
+    r16inv = pow(1 << 256, -1, P)
+    for i, limbs16 in enumerate(flat):
+        v = 0
+        for j in range(15, -1, -1):
+            v = (v << 16) | int(limbs16[j])
+        plain = (v * r16inv) % P           # decode L16 Montgomery
+        out[i] = _limbs((plain * R17) % P)  # encode L17 Montgomery
+    return out.reshape(arr.shape[:-1] + (NL,))
+
+
+def fq12_frob(a, frob17, k: int):
+    """a^(p^k), k in {1,2,3}; frob17: (3, 6, 2, NL) L17-Montgomery
+    constant table (l17_mont_table of pallas_fexp.FROB_NP), passed as a
+    kernel input.  Mirrors pallas_fexp.fq12_frob: per-Fq2 conjugation for
+    odd k, then an Fq2 multiply by the constant."""
+    if k % 2:
+        a = jnp.concatenate(
+            [a[..., 0:1, :, :], neg_clean(a[..., 1:2, :, :])], axis=-3)
+    c = a.reshape(*a.shape[:-5], 6, 2, NL, a.shape[-1])
+    out = fq2_mul(c, jnp.broadcast_to(frob17[k - 1][..., None], c.shape))
+    return out.reshape(a.shape)

@@ -119,3 +119,67 @@ def test_fq2_layer_vs_tower(rng):
     got = run_lt(lambda x, y: lt.to_l16(lt.fq2_conj(lt.fq2_mul(x, y))),
                  (2, 16, B), a, b)
     assert (back(got) == np.asarray(T.fq2_conj(want))).all()
+
+
+def test_fq12_flat_mul_vs_tower(rng):
+    """Flat-expansion fq12_mul (one norm + one 54-lane multiply + one exit
+    canon) == tower fq12_mul, bit-exact after domain conversion."""
+    xs, ys = rand_fq(rng, 12), rand_fq(rng, 12)
+    a = FQ.encode(xs).reshape(2, 3, 2, FQ.L)
+    b = FQ.encode(ys).reshape(2, 3, 2, FQ.L)
+    at = a[..., None]                    # transposed layout (2,3,2,L,B=1)
+    bt = b[..., None]
+
+    def run(fn, *xs_):
+        return run_lt(fn, (2, 3, 2, lt.NL, 1), *xs_)
+
+    a17 = run(lt.from_l16, at)
+    b17 = run(lt.from_l16, bt)
+    got17 = run(lambda x, y: lt.fq12_mul(x, y), a17, b17)
+    got = run_lt(lt.to_l16, (2, 3, 2, 16, 1), got17)[..., 0]
+    want = T.fq12_mul(a[None], b[None])[0]
+    assert (np.asarray(got) == np.asarray(want)).all()
+
+
+def test_fq12_flat_cyclo_vs_tower(rng):
+    """Flat-expansion cyclotomic squaring == tower fq12_cyclo_sqr on a
+    cyclotomic-subgroup element; chained twice to prove composability."""
+    from sipp_tpu.pairing.ate import _easy_part
+
+    xs = rand_fq(rng, 12)
+    g = _easy_part(FQ.encode(xs).reshape(1, 2, 3, 2, FQ.L))[0]
+    gt = g[..., None]
+
+    def run(fn, *xs_):
+        return run_lt(fn, (2, 3, 2, lt.NL, 1), *xs_)
+
+    g17 = run(lt.from_l16, gt)
+    got17 = run(lambda x: lt.fq12_cyclo_sqr(lt.fq12_cyclo_sqr(x)), g17)
+    got = run_lt(lt.to_l16, (2, 3, 2, 16, 1), got17)[..., 0]
+    want = T.fq12_cyclo_sqr(T.fq12_cyclo_sqr(g[None]))[0]
+    assert (np.asarray(got) == np.asarray(want)).all()
+
+
+def test_fq12_flat_conj_frob_vs_tower(rng):
+    """Flat conj + frob == tower (frob constants converted to the L17
+    domain by l17_mont_table)."""
+    from sipp_tpu.ops.pallas_fexp import FROB_NP
+
+    xs = rand_fq(rng, 12)
+    a = FQ.encode(xs).reshape(2, 3, 2, FQ.L)
+    at = a[..., None]
+    frob17 = jnp.asarray(lt.l17_mont_table(FROB_NP))
+
+    def run(fn, *xs_):
+        return run_lt(fn, (2, 3, 2, lt.NL, 1), *xs_)
+
+    a17 = run(lt.from_l16, at)
+    got = run_lt(lambda x: lt.to_l16(lt.fq12_conj(x)),
+                 (2, 3, 2, 16, 1), a17)[..., 0]
+    assert (np.asarray(got) == np.asarray(T.fq12_conj(a[None])[0])).all()
+
+    for k in (1, 2, 3):
+        got17 = run(lambda x, f, k=k: lt.fq12_frob(x, f, k), a17, frob17)
+        got = run_lt(lt.to_l16, (2, 3, 2, 16, 1), got17)[..., 0]
+        want = T.fq12_frob(a[None], k)[0]
+        assert (np.asarray(got) == np.asarray(want)).all(), k
