@@ -109,7 +109,7 @@ def final_exp_lat(f, interpret: bool = False):
             pltpu.VMEM((PF._X_NBITS - 1,) + elt17, jnp.uint32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
     )(
         jnp.asarray(t.CONSTS_NP),

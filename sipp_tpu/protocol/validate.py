@@ -105,22 +105,41 @@ def _g2_in_subgroup(b_g2):
     return jnp.logical_or(inf_b, G2.is_infinity(out))
 
 
+def check_instance_async(a_g1, b_g2, subgroup: bool = True):
+    """Dispatch the device-side instance checks WITHOUT syncing (JAX
+    dispatch is async): the host limb checks run now, the curve/subgroup
+    programs overlap whatever host work follows.  Returns a zero-arg
+    closure that fetches the results and raises VerificationError —
+    callers MUST invoke it before trusting the instance."""
+    check_limbs(a_g1, "A")
+    check_limbs(b_g2, "B")
+    oks = _instance_ok(a_g1, b_g2)
+    ok_s = _g2_in_subgroup(b_g2) if subgroup else None
+
+    def finish():
+        ok_a, ok_b = jax.device_get(oks)
+        if not ok_a.all():
+            raise _err(
+                f"A: point off curve at index "
+                f"{int(np.flatnonzero(~ok_a)[0])}")
+        if not ok_b.all():
+            raise _err(
+                f"B: point off twist curve at index "
+                f"{int(np.flatnonzero(~ok_b)[0])}")
+        if ok_s is not None:
+            ok = jax.device_get(ok_s)
+            if not ok.all():
+                raise _err(
+                    f"B: point outside the r-torsion subgroup at index "
+                    f"{int(np.flatnonzero(~ok)[0])}")
+
+    return finish
+
+
 def check_instance(a_g1, b_g2, subgroup: bool = True):
     """Validate a SIPP instance (A, B): canonical limbs, on-curve, and
     (subgroup=True) G2 r-torsion.  Raises VerificationError."""
-    check_limbs(a_g1, "A")
-    check_limbs(b_g2, "B")
-    ok_a, ok_b = jax.device_get(_instance_ok(a_g1, b_g2))
-    if not ok_a.all():
-        raise _err(f"A: point off curve at index {int(np.flatnonzero(~ok_a)[0])}")
-    if not ok_b.all():
-        raise _err(f"B: point off twist curve at index {int(np.flatnonzero(~ok_b)[0])}")
-    if subgroup:
-        ok_s = jax.device_get(_g2_in_subgroup(b_g2))
-        if not ok_s.all():
-            raise _err(
-                f"B: point outside the r-torsion subgroup at index "
-                f"{int(np.flatnonzero(~ok_s)[0])}")
+    check_instance_async(a_g1, b_g2, subgroup)()
 
 
 def check_proof(proof) -> np.ndarray:

@@ -40,9 +40,11 @@ def sipp_verify(a_g1, b_g2, proof) -> SIPPStatement:
     assert proof.shape[0] == 2 * (n.bit_length() - 1) + 1
 
     # adversarial-input validation (reference parity: arkworks' typed
-    # deserialization + the circuit's limb range asserts — see validate.py)
+    # deserialization + the circuit's limb range asserts — see validate.py).
+    # Async: the curve/subgroup device programs overlap the host transcript
+    # replay below; the results gate the final accept.
     from . import validate
-    validate.check_instance(a_g1, b_g2)
+    _validation_ok = validate.check_instance_async(a_g1, b_g2)
 
     a_host = curves.g1_decode(a_g1)
     b_host = curves.g2_decode(b_g2)
@@ -159,6 +161,7 @@ def sipp_verify(a_g1, b_g2, proof) -> SIPPStatement:
             native.fq12_dev_to_u64(jax.device_get(_inner_f(a, b, None))))
     else:
         lhs_ints = tower.fq12_decode(final_exp(_inner_f(a, b, None))[None])[0]
+    _validation_ok()   # fetch the async entry-validation verdicts
     if lhs_ints != final_z_ints:
         raise VerificationError("Verification failed")
     return stmt
