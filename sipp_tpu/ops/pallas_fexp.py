@@ -30,6 +30,15 @@ serial now rides fori_loops over VMEM register files with dynamic indexing
     (dst, s1, s2) from SMEM; only the 7 tail rows with conj/Frobenius
     post-ops stay unrolled, keeping the post-op selection compile-time.
 Value-identical to the unrolled form (same multiplies in the same order).
+
+Round-4 latency split: the HARD PART (x-chains, product trees, tape —
+~80% of the serial stages) runs in the L=17-limb lazy-column domain
+(ops/tmul_lat.py flat-expansion ops: one norm + one stacked SOS multiply
++ one canonicalization per tower op, vs ~15 norm-ops each in the L16
+forms), converted at the easy-part/hard-part boundary; the easy part
+(with its Fermat tower inversion) stays in the L16 ops.  Bit-equality
+and the speedup were measured on v5e before integration
+(scratch/r4_fexp_lat.py; RESULTS.md round 4).
 """
 
 import functools
@@ -43,6 +52,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import params
 from ..fields import FQ, tower
 from . import tmul as t
+from . import tmul_lat as lt
 
 L = FQ.L
 
@@ -226,23 +236,28 @@ def fq12_inv(a):
 _X_NBITS = len(_X_BITS)
 _X_SET_POWS = [_X_NBITS - 1 - k for k in range(_X_NBITS) if _X_BITS[k]]
 
+# Frobenius table in the L17 lazy-column domain (tmul_lat) for the hard
+# part; derived from the same Montgomery values as FROB_NP.
+FROB17_NP = lt.l17_mont_table(FROB_NP)
+
 
 def _powx_ref(v, sq_ref):
-    """v^x (x = BN parameter, static 63-bit exponent): a fori_loop of 62
-    cyclotomic squarings stored to the caller's VMEM scratch + one static
-    stacked 28-leaf set-bit product tree (pow_tree's schedule, scratch
-    hoisted so the whole thing can sit inside an outer fori_loop)."""
+    """v^x (x = BN parameter, static 63-bit exponent) in the L17 domain: a
+    fori_loop of 62 flat-expansion cyclotomic squarings stored to the
+    caller's VMEM scratch + one static stacked 28-leaf set-bit product
+    tree (pow_tree's schedule, scratch hoisted so the whole thing can sit
+    inside an outer fori_loop)."""
 
     def body(i, s):
         sq_ref[pl.ds(i, 1)] = s[None]
-        return fq12_cyclo_sqr(s)
+        return lt.fq12_cyclo_sqr(s)
 
     last = jax.lax.fori_loop(0, _X_NBITS - 1, body, v)
     vals = [last if j == _X_NBITS - 1 else sq_ref[pl.ds(j, 1)][0]
             for j in _X_SET_POWS]
     while len(vals) > 1:
         h = len(vals) // 2
-        prod = fq12_mul(jnp.stack(vals[:h]), jnp.stack(vals[h:2 * h]))
+        prod = lt.fq12_mul(jnp.stack(vals[:h]), jnp.stack(vals[h:2 * h]))
         vals = [prod[i] for i in range(h)] + vals[2 * h:]
     return vals[0]
 
@@ -254,18 +269,26 @@ _TAPE_NLOOP = 23
 
 # ------------------------------------------------------------------ kernel
 
-def _fexp_kernel(c_ref, frob_ref, tape_ref, f_ref, o_ref, regs_ref, sq_ref):
+def _fexp_kernel(c_ref, cl_ref, frob_ref, frob17_ref, tape_ref, f_ref,
+                 o_ref, regs_ref, sq_ref):
     tape = _tape()
     assert not tape[:_TAPE_NLOOP, 3].any() and tape[_TAPE_NLOOP:, 0].size == 7
     with t.bound_consts(c_ref[:]):
+        # easy part in the production L16 ops (one tower inversion)
         frob = frob_ref[:]
         f = f_ref[:]
         # easy part: g = (conj(f) * f^-1)^(p^2) * (conj(f) * f^-1)
         g = fq12_mul(fq12_conj(f), fq12_inv(f))
-        g = fq12_mul(fq12_frob(g, frob, 2), g)
+        g16 = fq12_mul(fq12_frob(g, frob, 2), g)
+    # hard part in the L17 lazy-column domain (tmul_lat): ~80% of the
+    # serial stages, at roughly half the per-stage latency (flat-expansion
+    # ops: one norm + one stacked multiply + one canon each) — measured
+    # bit-equal + faster on v5e (scratch/r4_fexp_lat.py, RESULTS.md r4)
+    with lt.bound_consts(cl_ref[:]):
+        frob17 = frob17_ref[:]
         # 12-slot register file: 0=g, 1=g^x, 2=g^(x^2), 3=g^(x^3), 4..11
         # tape scratch
-        regs_ref[pl.ds(0, 1)] = g[None]
+        regs_ref[pl.ds(0, 1)] = lt.from_l16(g16)[None]
 
         def chain(k, c):
             regs_ref[pl.ds(k + 1, 1)] = (
@@ -276,8 +299,8 @@ def _fexp_kernel(c_ref, frob_ref, tape_ref, f_ref, o_ref, regs_ref, sq_ref):
 
         def tape_step(i, c):
             # tape_ref: flat int32 SMEM (3 words per row: dst, s1, s2)
-            v = fq12_mul(regs_ref[pl.ds(tape_ref[3 * i + 1], 1)][0],
-                         regs_ref[pl.ds(tape_ref[3 * i + 2], 1)][0])
+            v = lt.fq12_mul(regs_ref[pl.ds(tape_ref[3 * i + 1], 1)][0],
+                            regs_ref[pl.ds(tape_ref[3 * i + 2], 1)][0])
             regs_ref[pl.ds(tape_ref[3 * i], 1)] = v[None]
             return c
 
@@ -288,15 +311,16 @@ def _fexp_kernel(c_ref, frob_ref, tape_ref, f_ref, o_ref, regs_ref, sq_ref):
             return regs_ref[pl.ds(i, 1)][0]
 
         for dst, s1, s2, post in tape[_TAPE_NLOOP:].tolist():
-            v = fq12_mul(r(s1), r(s2))
+            v = lt.fq12_mul(r(s1), r(s2))
             if post == 1:
-                v = fq12_conj(v)
+                v = lt.fq12_conj(v)
             elif post == 2:
-                v = fq12_frob(v, frob, 1)
+                v = lt.fq12_frob(v, frob17, 1)
             elif post == 3:
-                v = fq12_frob(v, frob, 2)
+                v = lt.fq12_frob(v, frob17, 2)
             regs_ref[pl.ds(dst, 1)] = v[None]
-        o_ref[:] = fq12_mul(r(5), fq12_frob(r(0), frob, 3))
+        out = lt.fq12_mul(r(5), lt.fq12_frob(r(0), frob17, 3))
+        o_ref[:] = lt.to_l16(out)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -315,26 +339,33 @@ def final_exp_fused(f, interpret: bool = False):
     B = f.shape[0]
     ft = f[..., None]                     # (B, 2, 3, 2, L, 1)
     elt = (B, 2, 3, 2, L, 1)
+    elt17 = (B, 2, 3, 2, lt.NL, 1)
     out = pl.pallas_call(
         _fexp_kernel,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # consts
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # frobenius table
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # tmul consts
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # tmul_lat consts
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # frobenius table (L16)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # frobenius table (L17)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # lambda tape (flat)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # f
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(elt, jnp.uint32),
         scratch_shapes=[
-            pltpu.VMEM((12,) + elt, jnp.uint32),           # register file
-            pltpu.VMEM((_X_NBITS - 1,) + elt, jnp.uint32),  # x-chain powers
+            pltpu.VMEM((12,) + elt17, jnp.uint32),          # register file
+            pltpu.VMEM((_X_NBITS - 1,) + elt17, jnp.uint32),  # x-chain pow
         ],
+        # the B=1 kernel peaks at ~100.5 MB scoped VMEM (the L17 canon
+        # candidate stacks); v5e has 128 MB physical
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=119 * 1024 * 1024),
         interpret=interpret,
     )(
         jnp.asarray(t.CONSTS_NP),
+        jnp.asarray(lt.CONSTS_NP),
         jnp.asarray(FROB_NP),
+        jnp.asarray(FROB17_NP),
         jnp.asarray(_tape()[:, :3].reshape(-1), jnp.int32),
         ft,
     )

@@ -103,6 +103,28 @@ def _shift_up(x, s: int):
     return jnp.where(idx >= s, pltpu.roll(x, s, axis=x.ndim - 2), 0)
 
 
+# ---------------------------------------------------------- lane merging
+# The serial tails run with ONE real lane (B=1) and stacks on LEADING axes
+# ((54, NL, 1) multiplicand stacks etc.).  Without merging, every vector
+# op runs at 1/128 lane utilization and the flat-expansion ops LOSE to the
+# L16 forms (measured in-flow, round 4).  mul/norm/canon therefore flatten
+# leading stack axes into the lane axis around their compute (the
+# tmul.mul stacked-lead pattern); raw column adds stay unmerged (cheap).
+
+def _to_lanes(x):
+    lead = x.shape[:-2]
+    S = int(np.prod(lead)) if lead else 1
+    if S > 1 and x.shape[-1] == 1:
+        return jnp.transpose(x.reshape(S, x.shape[-2]), (1, 0)), lead
+    return x, None
+
+
+def _from_lanes(x, lead):
+    if lead is None:
+        return x
+    return jnp.transpose(x, (1, 0)).reshape(*lead, x.shape[-2], 1)
+
+
 def norm_raw(cols, num_out: int):
     """Kogge-Stone carry propagation (tmul.norm, NL-parameterized).
     Returns (16-bit limbs of value mod 2^(16*num_out), carry)."""
@@ -125,31 +147,42 @@ def norm_raw(cols, num_out: int):
 
 
 def norm(cols):
-    """Raw cols (value < R17) -> 16-bit limbs, exact value."""
-    limbs, _ = norm_raw(cols, NL)
-    return limbs
+    """Raw cols (value < R17) -> 16-bit limbs, exact value (lane-merged)."""
+    m, lead = _to_lanes(cols)
+    limbs, _ = norm_raw(m, NL)
+    return _from_lanes(limbs, lead)
 
 
 def canon_k(cols, K: int):
     """Raw cols with value < K*p -> CANONICAL (< p) 16-bit limbs: ONE
     stacked norm over candidates v + k*(R17 - p); candidate k's carry
     equals k iff v >= k*p (k*(R17-p) adds k overflows of the 17-limb
-    window minus k*p; |v - k*p| << R17 keeps the floor exact)."""
+    window minus k*p; |v - k*p| << R17 keeps the floor exact).
+    Lane-merged around the candidate norm."""
+    m, lead = _to_lanes(cols)
     step = _c(2)
-    cands = jnp.stack([cols + k * step for k in range(K)])
+    cands = jnp.stack([m + k * step for k in range(K)])
     limbs, carry = norm_raw(cands, NL)
     out = limbs[0]
     for k in range(1, K):
         out = jnp.where((carry[k] >= k)[..., None, :], limbs[k], out)
-    return out
+    return _from_lanes(out, lead)
 
 
 def mul(a, b):
     """Montgomery product a*b*R17^-1 mod p in SOS form, NO trailing
     conditional subtract: output CLEAN (< 2p, 16-bit limbs).  Inputs:
-    16-bit limb arrays with value_a * value_b < p * R17 (~580p each)."""
+    16-bit limb arrays with value_a * value_b < p * R17 (~580p each).
+    Lane-merged (stacked-lead flatten, tmul.mul pattern)."""
     if a.shape != b.shape:
         a, b = jnp.broadcast_arrays(a, b)
+    a, lead = _to_lanes(a)
+    b, _ = _to_lanes(b)
+    return _from_lanes(_mul_merged(a, b), lead)
+
+
+def _mul_merged(a, b):
+    """mul core on already-lane-merged operands."""
     b_wide = jnp.concatenate([b, jnp.zeros_like(b)], axis=-2)
     acc = None
     for i in range(NL):
@@ -413,7 +446,9 @@ def canon_big(cols, bound_p: float):
     """Raw cols with value < bound_p * p -> canonical.  Small bounds use
     canon_k directly; larger ones fold the 2^256-overflow limb back via
     2^256 mod p (= the _TO16 constant, < 0.3p) until < ~8p remains —
-    each fold: one norm + one broadcast multiply-add, value-exact."""
+    each fold: one norm + one broadcast multiply-add, value-exact.
+    Lane-merged across the folds + final canon."""
+    cols, lead = _to_lanes(cols)
     while bound_p + 2 > 9:
         limbs, _ = norm_raw(cols, NL)
         idx = jax.lax.broadcasted_iota(
@@ -422,7 +457,7 @@ def canon_big(cols, bound_p: float):
         h = limbs[..., 16:17, :]           # value h * 2^256, h < 2^16
         cols = lo + h * _c(5)
         bound_p = (1 << 256) / P + (bound_p * P / (1 << 256) + 1) * 0.3
-    return canon_k(cols, int(bound_p) + 2)
+    return _from_lanes(canon_k(cols, int(bound_p) + 2), lead)
 
 
 def _index_of(key):
@@ -458,9 +493,16 @@ def _exec_table(lanes, outs, a_flat, b_flat=None):
             acc = term if acc is None else acc + term
         return acc
 
+    # lane-merge ONCE around the stacked norm + multiply (the product
+    # lanes ride the VPU lane axis; reconstruction below is cheap raw adds
+    # in the sublane-stacked layout)
     x = jnp.stack([gather(xs) for xs, _ in lanes])
     y = jnp.stack([gather(ys) for _, ys in lanes])
-    v = mul(norm(x), norm(y))
+    xm, lead = _to_lanes(x)
+    ym, _ = _to_lanes(y)
+    xn, _ = norm_raw(xm, NL)
+    yn, _ = norm_raw(ym, NL)
+    v = _from_lanes(_mul_merged(xn, yn), lead)
 
     outs_cols = []
     bounds = []

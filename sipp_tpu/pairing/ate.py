@@ -53,11 +53,13 @@ MILLER_CHUNK = int(os.environ.get("SIPP_MILLER_CHUNK_XLA", "1024"))
 # is overridable for n >= 256 workloads: SIPP_MILLER_CHUNK=256/512 amortizes
 # the per-launch fixed cost over more lanes (NOTES_NEXT.md perf item 1).
 MILLER_FUSED_CHUNK = int(os.environ.get("SIPP_MILLER_CHUNK", "128"))
-# Auto-pick (VERDICT r3 next-5): wide aggregations amortize the per-launch
-# fixed cost over 256 lanes.  SIPP_MILLER_CHUNK pins the chunk outright;
-# SIPP_MILLER_CHUNK_AUTO_N moves the cutover (set huge to disable the
-# auto-pick without a trace-path edit).
-_CHUNK_AUTO_N = int(os.environ.get("SIPP_MILLER_CHUNK_AUTO_N", "2048"))
+# Wide-chunk auto-pick: MEASURED A LOSS and disabled (round-4 batch s3,
+# n=4096 distinct-input steady state: chunk 128 = 163.8 ms vs chunk 256 =
+# 174.9 ms, bit-equal outputs) — the per-launch fixed cost inside the
+# chunk scan is negligible, and 128 lanes share one compiled kernel with
+# the n=128 flagship.  SIPP_MILLER_CHUNK pins the chunk outright;
+# SIPP_MILLER_CHUNK_AUTO_N re-enables a 256-lane cutover for experiments.
+_CHUNK_AUTO_N = int(os.environ.get("SIPP_MILLER_CHUNK_AUTO_N", str(1 << 62)))
 
 
 def _fused_chunk(n: int) -> int:
@@ -411,9 +413,9 @@ def final_exp_host_np(f_np):
 def _round_zs_fused(a, b, m):
     """One fold round's (Z_L, Z_R) = (e-prod(A_hi, B_lo), e-prod(A_lo, B_hi))
     INCLUDING final exps, one device program: the dynamic-m halving masks,
-    two whole-loop Miller kernels, plus ONE B=2 stacked final-exp kernel
-    (both tails for the price of one — see pallas_fexp.final_exp_fused
-    batch layout).  m is a traced scalar: one compiled program per width."""
+    two whole-loop Miller kernels, plus the final-exp kernel TWICE at B=1
+    (the L17 hard part's VMEM peak rules out the old B=2 stacking; one
+    shared compiled kernel).  m traced: one compiled program per width."""
     from ..ops import pallas_fexp
     from ..protocol.prover import _halves
 
@@ -421,7 +423,7 @@ def _round_zs_fused(a, b, m):
     b_lo, b_hi = _halves(b, m)
     fl = _inner_f(a_hi, b_lo, None)
     fr = _inner_f(a_lo, b_hi, None)
-    return pallas_fexp.final_exp_fused(jnp.stack([fl, fr]))
+    return jnp.concatenate([pallas_fexp.final_exp_fused(fl[None]), pallas_fexp.final_exp_fused(fr[None])])
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
