@@ -89,31 +89,49 @@ def run_stage(stage: str):
 
     if stage == "protocol":
         from sipp_tpu.protocol import sipp_verify
-        from sipp_tpu.protocol.prover import sipp_prove
+        from sipp_tpu.protocol.prover import sipp_prove, sipp_prove_onchip
 
-        # host-spine prover: its per-round programs (_inner_z_fused,
-        # _round_zs_fused, fold kernels) are individually cacheable and
-        # shared with the app/CLI paths; the fully-fused onchip prover's
-        # single scanned program exceeded 100 min of tunnel compile in
-        # round 3 (scratch/r3_batch logs) and is exercised by tests instead
-        prove = sipp_prove
+        # on-chip prover (round 5): the whole fold recursion is device-
+        # resident — per-round dispatches of ONE shared program, zero host
+        # syncs (prover.py sipp_prove_onchip).  The round-4 host-spine
+        # prover paid a tunnel round trip + host hash per round (0.40 s at
+        # n=128 vs the ~0.1 s the rounds actually compute).  Fallback:
+        # SIPP_BENCH_PROVER=host restores the host-spine path.
+        use_onchip = (on_tpu and
+                      os.environ.get("SIPP_BENCH_PROVER", "onchip") == "onchip")
+        prove = sipp_prove_onchip if use_onchip else sipp_prove
         t = time.time()
         proof = prove(a, b)
         jax.block_until_ready(proof)
-        log(f"[protocol] prove warmup (compile) {time.time()-t:.1f}s")
+        log(f"[protocol] prove warmup (compile) {time.time()-t:.1f}s "
+            f"({'onchip' if use_onchip else 'host-spine'})")
         (a2, b2), = fresh_instances(1)
         t = time.time()
         proof2 = prove(a2, b2)
         jax.block_until_ready(proof2)
         prove_s = time.time() - t
+        # per-fold-round latency (the second half of the BASELINE.json
+        # metric string): every fixed-width round dispatched AND blocked
+        # individually on a fresh instance; report the median
+        fold_ms = None
+        if use_onchip:
+            (a3, b3), = jax.block_until_ready([_roll(a, b, REPS + 1)])
+            rt = []
+            jax.block_until_ready(sipp_prove_onchip(a3, b3, round_times=rt))
+            if rt:
+                fold_ms = sorted(rt)[len(rt) // 2] * 1000.0
+                log(f"[protocol] fold rounds (ms): "
+                    f"{[round(x * 1000, 2) for x in rt]}")
         sipp_verify(a, b, proof)
         t = time.time()
         sipp_verify(a2, b2, proof2)
         verify_s = time.time() - t
         log(f"[protocol] prove {prove_s:.3f}s verify {verify_s:.3f}s at n={N}")
-        print("RESULT " + json.dumps(
-            {"stage": stage, "prove_s": round(prove_s, 3),
-             "verify_s": round(verify_s, 3)}), flush=True)
+        res = {"stage": stage, "prove_s": round(prove_s, 3),
+               "verify_s": round(verify_s, 3)}
+        if fold_ms is not None:
+            res["fold_round_latency_ms"] = round(fold_ms, 3)
+        print("RESULT " + json.dumps(res), flush=True)
         return
     elif stage == "xla" or not on_tpu:
         # no Mosaic kernels at all — the cheapest program to compile through
@@ -286,6 +304,11 @@ def main():
     if protocol is not None and protocol.result:
         extra = {k: v for k, v in protocol.result.items()
                  if k not in ("stage", "digest")}
+        if "fold_round_latency_ms" in extra:
+            print(json.dumps(
+                {"metric": f"fold_round_latency_ms_n{N}",
+                 "value": extra["fold_round_latency_ms"], "unit": "ms"}),
+                flush=True)
     if selftest is not None:
         extra["selftest_ok"] = selftest
     emit(best, extra=extra or None)

@@ -122,7 +122,16 @@ def verify_bls_aggregation(pks, msgs, sigma, prove=True):
     if not prove:
         return True, None
 
-    proof = sipp_prove(a, b)
+    # on TPU the device-resident prover (zero host syncs per round) shares
+    # its compiled round program with the bench/protocol path; the host-
+    # spine prover remains the CPU/test path.  Bit-identical proofs.
+    import jax
+
+    from ..protocol.prover import sipp_prove_onchip
+
+    prove_fn = (sipp_prove_onchip if jax.default_backend() == "tpu"
+                else sipp_prove)
+    proof = prove_fn(a, b)
     stmt = sipp_verify(a, b, proof)   # raises on invalid proof
     assert stmt.Z == H.FQ12_ONE
     return True, proof

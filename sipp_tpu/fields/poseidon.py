@@ -11,11 +11,21 @@ circulant [17,15,41,16,2,28,13,13,39,18,34,20] with +8 on the (0,0) entry.
 NOTE ON CONSTANTS: plonky2's 360 round constants are not derivable in this
 offline environment (the dependency is not vendored; SURVEY.md §4 notes the
 reference Rust is not runnable here, and the table is not Grain-LFSR
-reproducible — a parameter sweep of the Poseidon reference generator was
-tried).  They are therefore generated deterministically below (SHA-256
-counter mode, domain-separated, rejection sampling into the field).  The
-permutation structure, widths, absorb rule, and every byte of the transcript
-encoding contract (SURVEY.md §2.4) are bit-exact to the reference.
+reproducible).  The round-5 exhaustive attempt is committed as
+tools/grain_poseidon.py: a faithful implementation of the canonical
+hadeshash `generate_parameters_grain.sage` generator (80-bit LFSR, taps
+62/51/38/23/13/0, 160 warm-up rounds, pair-shrinking output rule,
+MSB-first 64-bit assembly with rejection sampling) swept over 3,456
+parameterizations (field tag, sbox tag, field-size 63/64, t 8/11/12,
+R_F 4/8, R_P 22/41/56, init/output bit order, shrinking on/off) — NONE
+reproduces the recalled prefix of plonky2's ALL_ROUND_CONSTANTS (first
+element 0xb585f766f2144405); the canonical parameterization yields
+0x13dcf33aba214f46.  plonky2's table therefore does not come from the
+documented Poseidon reference generator.  The constants here are instead
+generated deterministically below (SHA-256 counter mode, domain-separated,
+rejection sampling into the field).  The permutation structure, widths,
+absorb rule, and every byte of the transcript encoding contract
+(SURVEY.md §2.4) are bit-exact to the reference.
 
 SWAP HOOK: set SIPP_POSEIDON_RC_FILE to a file holding the 360 u64 round
 constants (JSON list, or whitespace/comma-separated decimal/hex ints, row-

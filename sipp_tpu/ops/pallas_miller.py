@@ -207,10 +207,18 @@ def twist_frob(q, twf):
 
 # ------------------------------------------- whole-loop + product kernel
 
-def _full_kernel(c_ref, twf_ref, dig_ref, p_ref, q_ref, o_ref, f_ref, t_ref):
+def _full_kernel(pair, c_ref, twf_ref, dig_ref, p_ref, q_ref, o_ref, f_ref,
+                 t_ref):
     """ENTIRE Miller loop (digit tape in SMEM), Frobenius correction lines,
     infinity masking, and the cross-lane Fq12 product — one pallas_call.
-    Output: every lane of o_ref holds prod_i f_i (hypercube reduction)."""
+    Output: every lane of o_ref holds prod_i f_i (hypercube reduction).
+
+    pair (static): stop the hypercube at stride 2.  Every roll stride is
+    then even, so lane parity classes never mix: lane 0 ends up holding the
+    product of all EVEN lanes and lane 1 the product of all ODD lanes — two
+    independent m-wide pairing products (a fold round's Z_L/Z_R cross
+    products, interleaved by the caller) from ONE kernel at full lane
+    utilization instead of two half-empty launches."""
     with t.bound_consts(c_ref[:]):
         B = p_ref.shape[-1]
         xp, yp = p_ref[0], p_ref[1]
@@ -266,7 +274,7 @@ def _full_kernel(c_ref, twf_ref, dig_ref, p_ref, q_ref, o_ref, f_ref, t_ref):
         # log2(B) rounds EVERY lane holds the full product (no lane slicing,
         # which Mosaic mislays; rolls are native)
         s = B // 2
-        while s >= 1:
+        while s >= (2 if pair else 1):
             f = fq12_mul(f, pltpu.roll(f, s, axis=f.ndim - 1))
             s //= 2
         o_ref[:] = f
@@ -277,22 +285,29 @@ def _c_one():
     return t._c(4)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def miller_product_fused(p_aff, q_aff, interpret: bool = False):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def miller_product_fused(p_aff, q_aff, interpret: bool = False,
+                         pair: bool = False):
     """prod_i miller(P_i, Q_i) over the batch: the whole loop, tail, and
     product tree as ONE kernel launch.  p_aff: (B, 2, L); q_aff:
     (B, 2, 2, L); B a power of two <= 128 (VMEM).  Returns (2, 3, 2, L).
     Bit-identical to _product_tree(miller_loop(...)) — differentially
     tested (the product order of the lane hypercube equals the halving
-    tree's: both multiply index i with i + B/2^k at level k)."""
+    tree's: both multiply index i with i + B/2^k at level k).
+
+    pair=True: treat even/odd lanes as two independent pairing-product
+    instances (see _full_kernel) and return (2, 2, 3, 2, L): index 0 = the
+    even-lane product, 1 = the odd-lane product.  Exact: field products are
+    order-independent (canonical representation is unique)."""
     from ..pairing.ate import _DIGITS
 
     B = p_aff.shape[0]
     assert B & (B - 1) == 0 and B <= 512
+    assert not (pair and B < 2)
     pt = jnp.transpose(p_aff, (1, 2, 0))
     qt = jnp.transpose(q_aff, (1, 2, 3, 0))
     out = pl.pallas_call(
-        _full_kernel,
+        functools.partial(_full_kernel, pair),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # consts
             pl.BlockSpec(memory_space=pltpu.VMEM),   # twist-frob consts
@@ -319,6 +334,9 @@ def miller_product_fused(p_aff, q_aff, interpret: bool = False):
         pt,
         qt,
     )
+    if pair:
+        # lanes 0/1 hold the even/odd-class products: (2, 2, 3, 2, L)
+        return jnp.moveaxis(out[..., 0:2], -1, 0)
     # drop the lane axis: (2, 3, 2, L, B) lane 0 -> standard (2, 3, 2, L)
     return out[..., 0]
 

@@ -409,21 +409,57 @@ def final_exp_host_np(f_np):
     return out.reshape(arr.shape), ints
 
 
+def _cross_f_pair(a_lo, a_hi, b_lo, b_hi):
+    """Both pre-FE cross inner products of a fold round from HALF the Miller
+    work of two separate calls: (F_L, F_R) = (miller-prod(A_hi, B_lo),
+    miller-prod(A_lo, B_hi)).
+
+    The two m-wide (m <= W/2) products ride ONE W-lane whole-loop kernel:
+    Z_L's pairs interleaved on even lanes, Z_R's on odd, with the kernel's
+    lane-hypercube product stopped at stride 2 (pair=True) so the parity
+    classes reduce independently.  Bit-identical to two _inner_f calls:
+    dead lanes are points at infinity (f = 1, and the Montgomery product by
+    one is exact), and exact-field products are order-independent (canonical
+    limb encoding is unique).  Inputs are the full-width _halves outputs
+    (live lanes < m <= W/2, so the static [:W/2] slice keeps every live
+    lane).  Returns (2, 2, 3, 2, L): [F_L, F_R]."""
+    from ..ops import pallas_miller
+
+    W = a_lo.shape[0]
+    h = W // 2
+    p = jnp.stack([a_hi[:h], a_lo[:h]], axis=1).reshape(W, *a_lo.shape[1:])
+    q = jnp.stack([b_lo[:h], b_hi[:h]], axis=1).reshape(W, *b_lo.shape[1:])
+    chunk = _fused_chunk(W)
+    if W <= chunk:
+        return pallas_miller.miller_product_fused(p, q, False, True)
+    c = W // chunk
+    pr = p.reshape(c, chunk, *p.shape[1:])
+    qr = q.reshape(c, chunk, *q.shape[1:])
+
+    def body(_, ab):
+        return None, pallas_miller.miller_product_fused(ab[0], ab[1],
+                                                        False, True)
+
+    _, parts = jax.lax.scan(body, None, (pr, qr))    # (c, 2, 2, 3, 2, L)
+    return _product_tree(parts)
+
+
 @jax.jit
 def _round_zs_fused(a, b, m):
     """One fold round's (Z_L, Z_R) = (e-prod(A_hi, B_lo), e-prod(A_lo, B_hi))
     INCLUDING final exps, one device program: the dynamic-m halving masks,
-    two whole-loop Miller kernels, plus the final-exp kernel TWICE at B=1
-    (the L17 hard part's VMEM peak rules out the old B=2 stacking; one
-    shared compiled kernel).  m traced: one compiled program per width."""
+    ONE pair-product whole-loop Miller kernel (_cross_f_pair), plus the
+    final-exp kernel TWICE at B=1 (the L17 hard part's VMEM peak rules out
+    the old B=2 stacking; one shared compiled kernel).  m traced: one
+    compiled program per width."""
     from ..ops import pallas_fexp
     from ..protocol.prover import _halves
 
     a_lo, a_hi = _halves(a, m)
     b_lo, b_hi = _halves(b, m)
-    fl = _inner_f(a_hi, b_lo, None)
-    fr = _inner_f(a_lo, b_hi, None)
-    return jnp.concatenate([pallas_fexp.final_exp_fused(fl[None]), pallas_fexp.final_exp_fused(fr[None])])
+    fpair = _cross_f_pair(a_lo, a_hi, b_lo, b_hi)
+    return jnp.concatenate([pallas_fexp.final_exp_fused(fpair[0][None]),
+                            pallas_fexp.final_exp_fused(fpair[1][None])])
 
 
 @functools.partial(jax.jit, static_argnums=(2,))

@@ -167,23 +167,41 @@ def _fold_dev(a_lo, a_hi, b_lo, b_hi, xbits, xinvbits):
 
 
 def _round_body_onchip(a, b, state, m):
-    """One fold round ENTIRELY on device: cross Miller products, B=2 final
-    exp, transcript appends, challenge, Fr inversion (Fermat over r-2), and
-    both fold ladders.  Bit-identical to the host-sync round: the device
-    transcript reproduces the host hash chain and digit quirk exactly."""
+    """One fold round ENTIRELY on device: cross Miller products (ONE
+    pair-product kernel on TPU), two B=1 final exps (the L17 hard part's
+    VMEM peak rules out B=2 stacking), transcript appends, challenge, Fr
+    inversion (Fermat over r-2), and both fold ladders.  Bit-identical to
+    the host-sync round: the device transcript reproduces the host hash
+    chain and digit quirk exactly."""
     from ..fields import FR
+    from ..pairing.ate import _cross_f_pair
     from . import transcript_device as td
 
     a_lo, a_hi = _halves(a, m)
     b_lo, b_hi = _halves(b, m)
-    fl = _inner_f(a_hi, b_lo, None)
-    fr_ = _inner_f(a_lo, b_hi, None)
-    zs = _final_exp_dev(jnp.stack([fl, fr_]))
-    state = td.append_fq12(state, zs[0])
-    state = td.append_fq12(state, zs[1])
-    xbits, x_fr = td.get_challenge(state)
-    xinv = FR.from_mont(FR.inv(FR.to_mont(x_fr)))
-    a2, b2 = _fold_dev(a_lo, a_hi, b_lo, b_hi, xbits, _bits_msb(xinv))
+    if _fused_ok() and a.shape[0] >= 2:
+        fpair = _cross_f_pair(a_lo, a_hi, b_lo, b_hi)
+        fl, fr_ = fpair[0], fpair[1]
+    else:
+        fl = _inner_f(a_hi, b_lo, None)
+        fr_ = _inner_f(a_lo, b_hi, None)
+    zs = jnp.concatenate([_final_exp_dev(fl[None]),
+                          _final_exp_dev(fr_[None])])
+    if _fused_ok():
+        # the serial transcript tail (2 appends + challenge + Fr Fermat
+        # inversion) as ONE Pallas kernel: ~40 ms of per-op XLA overhead
+        # per round drops to ~ms (ops/pallas_transcript.py; bit-identical)
+        from ..ops.pallas_transcript import transcript_round_tail
+
+        state, x_fr, xinv = transcript_round_tail(state, zs[0], zs[1])
+        xbits, xinvbits = _bits_msb(x_fr), _bits_msb(xinv)
+    else:
+        state = td.append_fq12(state, zs[0])
+        state = td.append_fq12(state, zs[1])
+        xbits, x_fr = td.get_challenge(state)
+        xinv = FR.from_mont(FR.inv(FR.to_mont(x_fr)))
+        xinvbits = _bits_msb(xinv)
+    a2, b2 = _fold_dev(a_lo, a_hi, b_lo, b_hi, xbits, xinvbits)
     return a2, b2, state, zs
 
 
@@ -193,6 +211,10 @@ def _z_onchip(a, b, state):
     from . import transcript_device as td
 
     z = _final_exp_dev(_inner_f(a, b, None)[None])[0]
+    if _fused_ok():
+        from ..ops.pallas_transcript import transcript_append_fq12
+
+        return z, transcript_append_fq12(state, z)
     return z, td.append_fq12(state, z)
 
 
@@ -214,16 +236,28 @@ def _rounds_onchip(a, b, state, ms):
     return a, b, state, zs_all
 
 
-def sipp_prove_onchip(a_g1, b_g2, return_transcript=False):
+def sipp_prove_onchip(a_g1, b_g2, return_transcript=False, scan=None,
+                      round_times=None):
     """Fully on-chip prover: after the host point-prologue hash, the entire
     fold recursion — cross inner products, final exps, Poseidon transcript,
     challenges, Fr inversions, folds — runs on device with ZERO host syncs
     (the reference's serial spine, SURVEY.md §3.5, becomes device-resident):
-    one program for Z, one per wide round, ONE scanned program for all
-    fixed-width rounds, then a single transfer of the proof.  Produces
-    bit-identical proofs to sipp_prove (device transcript is quirk-exact)."""
+    one program for Z, one per wide round, then the fixed-width rounds as
+    either per-round dispatches of ONE shared program (default: every
+    fixed-width round hits the same compiled `_round_onchip`, dispatches
+    queue asynchronously with no host round trip) or one scanned program
+    (scan=True / env SIPP_ONCHIP_SCAN=1 — smallest dispatch count, but the
+    monolithic compile is tunnel-hostile; see NOTES_NEXT).  A single
+    transfer collects the proof.  Produces bit-identical proofs to
+    sipp_prove (device transcript is quirk-exact).
+
+    round_times: optional list; when given, each fixed-width round is
+    individually blocked and its wall-clock seconds appended — the
+    per-fold-round latency metric (BASELINE.json metric string)."""
     n = a_g1.shape[0]
     assert n == b_g2.shape[0] and n & (n - 1) == 0 and n >= 1
+    if scan is None:
+        scan = os.environ.get("SIPP_ONCHIP_SCAN") == "1"
     from ..fields import FGL
 
     a_host = curves.g1_decode(a_g1)
@@ -238,7 +272,7 @@ def sipp_prove_onchip(a_g1, b_g2, return_transcript=False):
     zs_wide = []
     m = n // 2
     while m >= 1 and a.shape[0] > w_min:
-        a, b, state, zs = _round_onchip(a, b, state, m)
+        a, b, state, zs = _round_onchip(a, b, state, np.int32(m))
         a, b = a[: max(m, w_min)], b[: max(m, w_min)]
         zs_wide.append(zs)
         m //= 2
@@ -247,9 +281,19 @@ def sipp_prove_onchip(a_g1, b_g2, return_transcript=False):
         ms.append(m)
         m //= 2
     zs_tail = None
-    if ms:
+    if ms and scan:
         a, b, state, zs_tail = _rounds_onchip(
             a, b, state, np.asarray(ms, np.int32))
+    elif ms:
+        import time as _time
+
+        for m_ in ms:
+            t0 = _time.time() if round_times is not None else None
+            a, b, state, zs = _round_onchip(a, b, state, np.int32(m_))
+            if round_times is not None:
+                jax.block_until_ready(zs)
+                round_times.append(_time.time() - t0)
+            zs_wide.append(zs)
 
     z_np, zs_wide_np, zs_tail_np, state_np = jax.device_get(
         (z_dev, zs_wide, zs_tail, state))

@@ -31,6 +31,42 @@ class VerificationError(Exception):
     pass
 
 
+@jax.jit
+def _finals_msm_dev(a, b, bits_a, bits_b):
+    """The verifier finals as TWO per-lane MSMs in ONE device program
+    (VERDICT r4 next-8; reference cost model: n-1 G1 + n-1 G2 exps,
+    /root/reference/src/verifier_native.rs:48-57): final_A = sum_j c_j A_j
+    with c_j = prod_k x_k^{bit_k(j)} (bit_1 = MSB of j), final_B the
+    x^-1 twin.  Replaces log2(n) SEQUENTIAL 254-step fold ladders with ONE
+    254-step per-lane ladder + a log2(n) complete-add tree — same group
+    elements, so the affine results are bit-identical (canonical encoding).
+    Fused Pallas exp kernels on TPU; XLA ladders elsewhere (value-equality
+    of the two finals paths is CPU-tested; fused==XLA kernel equality is
+    covered by tests/test_exp_kernels.py)."""
+    from ..ops.msm import _tree_sum
+    from ..pairing.ate import _fused_ok
+
+    if _fused_ok():
+        from ..ops.pallas_exp import exp_g1_fused, exp_g2_fused
+
+        pa = G1.jac_from_affine(exp_g1_fused(a, jnp.zeros_like(a), bits_a))
+        pb = G2.jac_from_affine(exp_g2_fused(b, jnp.zeros_like(b), bits_b))
+    else:
+        pa = G1.exp_with_offset(a, jnp.zeros_like(a), bits_a)
+        pb = G2.exp_with_offset(b, jnp.zeros_like(b), bits_b)
+    fa = G1.to_affine(_tree_sum(G1, pa)[None])
+    fb = G2.to_affine(_tree_sum(G2, pb)[None])
+    return fa, fb
+
+
+def _msm_mode() -> str:
+    """SIPP_VERIFY_MSM: "auto" (default — MSM finals on the fused/TPU path,
+    fold ladders elsewhere), "1" (always), "0" (never; fold ladders)."""
+    import os
+
+    return os.environ.get("SIPP_VERIFY_MSM", "auto")
+
+
 def sipp_verify(a_g1, b_g2, proof) -> SIPPStatement:
     """Verify a SIPP proof.  proof: (2*log2(n)+1, 2, 3, 2, L) Fq12 array in
     the prover's reversed order.  Returns the accepted SIPPStatement or
@@ -74,8 +110,10 @@ def sipp_verify(a_g1, b_g2, proof) -> SIPPStatement:
     # collecting the fold schedule — unlike the prover, ALL challenges are
     # derivable up-front from the proof, so the device folds can run as one
     # scanned program afterwards.
+    n0 = n
     w_min = 2 * _floor(n)
     sched = []  # (m, xbits, xinvbits)
+    xs_int = []  # (x, x_inv) integer challenges, round order (MSM finals)
     while n > 1:
         m = n // 2
         tr.append_fq12(proof_ints[idx])
@@ -83,6 +121,7 @@ def sipp_verify(a_g1, b_g2, proof) -> SIPPStatement:
 
         x = tr.get_challenge()
         x_inv = pow(x, -1, params.R)
+        xs_int.append((x, x_inv))
         # Z' = Z_L^x * Z * Z_R^(x^-1) — single-element exponentiations are
         # latency-bound, so they run on the host C++ kernel when available
         # (bit-identical; see pairing.final_exp_host rationale).
@@ -111,11 +150,35 @@ def sipp_verify(a_g1, b_g2, proof) -> SIPPStatement:
             z_dev = _product_tree(
                 jnp.concatenate([z_dev[None], powers], 0))
 
-    # phase 2 (device): the folds.  Wide rounds (width above the shared
-    # floor) run individually; the fixed-width tail is ONE scanned program.
+    # phase 2 (device): recover final_A/final_B.  Default on the fused/TPU
+    # path: ONE MSM program (_finals_msm_dev).  Fallback (and CPU default):
+    # fold ladders — wide rounds individually, fixed-width tail as ONE
+    # scanned program.
+    mode = _msm_mode()
+    use_msm = n0 > 1 and (mode == "1" or (mode == "auto" and fused))
     a, b = a_g1, b_g2
     k = 0
-    if fused:
+    if use_msm:
+        from .prover import pad_lanes
+
+        logn = len(xs_int)
+        bits_a = np.empty((254, n0), np.uint32)
+        bits_b = np.empty((254, n0), np.uint32)
+        for j in range(n0):
+            c = d = 1
+            for kk, (x_k, xi_k) in enumerate(xs_int):
+                if (j >> (logn - 1 - kk)) & 1:
+                    c = c * x_k % params.R
+                    d = d * xi_k % params.R
+            bits_a[:, j] = scalar_to_bits(c)
+            bits_b[:, j] = scalar_to_bits(d)
+        fa_aff, fb_aff = _finals_msm_dev(
+            a_g1, b_g2, jnp.asarray(bits_a), jnp.asarray(bits_b))
+        # pad to the shared final-check width with infinity lanes (identical
+        # to what the fold path leaves in lanes >= 1)
+        a = pad_lanes(fa_aff, min(n0, w_min))
+        b = pad_lanes(fb_aff, min(n0, w_min))
+    elif fused:
         while a.shape[0] > w_min and k < len(sched):
             m, xb, xib = sched[k]
             k += 1

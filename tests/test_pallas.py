@@ -228,6 +228,58 @@ def test_miller_product_fused_interpret():
     assert (np.asarray(out) == np.asarray(ref)).all()
 
 
+@slow
+def test_miller_product_pair_interpret():
+    """pair=True kernel: even/odd lanes reduce to two independent pairing
+    products (a fold round's Z_L/Z_R from ONE launch) — bit-exact vs the
+    separate product-tree reductions, incl. infinity lanes."""
+    from sipp_tpu.ops.pallas_miller import miller_product_fused
+    from sipp_tpu.pairing.ate import _product_tree, miller_loop
+    from sipp_tpu.utils.testing import random_instance
+
+    A, B = random_instance(8, seed=12)
+    A = A.at[5].set(0)   # an infinity lane in the odd class
+    B = B.at[5].set(0)
+    out = miller_product_fused(A, B, True, True)
+    ref_even = _product_tree(miller_loop(A[0::2], B[0::2]))
+    ref_odd = _product_tree(miller_loop(A[1::2], B[1::2]))
+    assert (np.asarray(out[0]) == np.asarray(ref_even)).all()
+    assert (np.asarray(out[1]) == np.asarray(ref_odd)).all()
+
+
+@slow
+def test_cross_f_pair_interpret(monkeypatch):
+    """_cross_f_pair (interleave + pair kernel [+ chunked scan]) == the two
+    separate _inner_f cross products, bit-exact — unchunked (W=8) and
+    chunked (W=8, chunk=4), incl. masked (infinity) lanes at m < W/2."""
+    import jax
+
+    from sipp_tpu.ops import pallas_miller as pm
+    from sipp_tpu.pairing import ate
+    from sipp_tpu.protocol.prover import _halves
+    from sipp_tpu.utils.testing import random_instance
+
+    a, b = random_instance(8, seed=13)
+    orig = pm.miller_product_fused
+
+    def interp(p, q, i=False, pair=False):
+        return orig(p, q, True, pair)
+
+    monkeypatch.setattr(pm, "miller_product_fused", interp)
+    for chunk, m in ((128, 4), (128, 2), (4, 4)):
+        monkeypatch.setenv("SIPP_MILLER_CHUNK", str(chunk))
+        monkeypatch.setattr(ate, "MILLER_FUSED_CHUNK", chunk)
+        jax.clear_caches()
+        a_lo, a_hi = _halves(a, m)
+        b_lo, b_hi = _halves(b, m)
+        got = ate._cross_f_pair(a_lo, a_hi, b_lo, b_hi)
+        ref_l = ate._inner_f(a_hi, b_lo, None)
+        ref_r = ate._inner_f(a_lo, b_hi, None)
+        assert (np.asarray(got[0]) == np.asarray(ref_l)).all()
+        assert (np.asarray(got[1]) == np.asarray(ref_r)).all()
+    jax.clear_caches()
+
+
 # ------------------------------------------------- per-lane exp kernels (D7/D8)
 
 def test_exp_add_mixed_complete_interpret():
