@@ -52,8 +52,8 @@ def _finals_msm_dev(a, b, bits_a, bits_b):
         pa = G1.jac_from_affine(exp_g1_fused(a, jnp.zeros_like(a), bits_a))
         pb = G2.jac_from_affine(exp_g2_fused(b, jnp.zeros_like(b), bits_b))
     else:
-        pa = G1.exp_with_offset(a, jnp.zeros_like(a), bits_a)
-        pb = G2.exp_with_offset(b, jnp.zeros_like(b), bits_b)
+        pa = G1.scalar_mul_per_lane(a, bits_a)  # no infinity-offset add here
+        pb = G2.scalar_mul_per_lane(b, bits_b)  # (XLA add_mixed rejects it)
     fa = G1.to_affine(_tree_sum(G1, pa)[None])
     fb = G2.to_affine(_tree_sum(G2, pb)[None])
     return fa, fb
